@@ -1,0 +1,293 @@
+"""The small DDPM U-Net (Ho et al. CIFAR-10 architecture), TPU-native.
+
+Capability parity with /root/reference/models/DxMI/unet_small.py (the
+SFT-PG/DDPM backbone): same computation graph — sinusoidal time embedding,
+GroupNorm(32, eps=1e-6) + swish ResNet blocks with time-embedding injection,
+single-head self-attention at selected resolutions, skip-concat decoder —
+but re-designed for TPU:
+
+  * NHWC layout (XLA:TPU's native conv layout; avoids transposes around
+    every convolution),
+  * fp32 parameters with a configurable compute dtype (bf16 on TPU —
+    GroupNorm statistics are always taken in fp32),
+  * attention runs as one batched einsum pair so XLA tiles it onto the MXU.
+
+Weight-layout conversion from the reference's PyTorch checkpoints is in
+``dxmi_tpu.utils.convert``.
+"""
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, matching the DDPM/tensor2tensor variant
+    used by the reference (unet_small.py:9-27): frequency base
+    exp(-log(10000) * i / (half-1)), concat(sin, cos), zero-pad if odd."""
+    half = dim // 2
+    # The frequencies are static, so build them host-side: the f32 product
+    # matches the reference's op order, exp is evaluated in f64 and
+    # correctly rounded to f32 (XLA's on-device f32 exp is ~2e-6 off, which
+    # would shift sin arguments by ~2e-3 rad at t ~ 1000).
+    c = math.log(max_period) / (half - 1)
+    exponents = np.arange(half, dtype=np.float32) * np.float32(-c)
+    freqs = jnp.asarray(np.exp(exponents.astype(np.float64)).astype(np.float32))
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    # XLA's float32 sin/cos range reduction drifts ~1e-3 at arguments of
+    # ~600 rad (t ~ 1000 on the DDPM grid), so reduce mod 2*pi with a
+    # 3-term Cody-Waite split before the trig (k <= ~160 keeps k*hi exact).
+    two_pi = 2.0 * math.pi
+    tp_hi = np.float32(np.trunc(two_pi * 2**13) / 2**13)
+    tp_mid = np.float32(two_pi - float(tp_hi))
+    tp_lo = np.float32(two_pi - float(tp_hi) - float(tp_mid))
+    k = jnp.floor(args / jnp.float32(two_pi))
+    r = ((args - k * tp_hi) - k * tp_mid) - k * tp_lo
+    emb = jnp.concatenate([jnp.sin(r), jnp.cos(r)], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def swish(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(x)
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm with statistics in fp32 regardless of compute dtype
+    (the reference's large model relies on fp32 GN, cm/nn.py:19-21; the
+    small model uses default GN — fp32 stats are a strict improvement and
+    bit-compatible in fp32 mode)."""
+
+    num_groups: int = 32
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        x = x.astype(jnp.float32)
+        out = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps,
+                           dtype=jnp.float32, name="gn")(x)
+        return out.astype(orig_dtype)
+
+
+class ResnetBlock(nn.Module):
+    out_channels: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, temb: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        in_channels = x.shape[-1]
+        h = GroupNorm32(dtype=self.dtype, name="norm1")(x)
+        h = swish(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+
+        temb_proj = nn.Dense(self.out_channels, dtype=self.dtype, name="temb_proj")(swish(temb))
+        h = h + temb_proj[:, None, None, :]
+
+        h = GroupNorm32(dtype=self.dtype, name="norm2")(h)
+        h = swish(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+
+        if in_channels != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
+        return x + h
+
+
+class AttnBlock(nn.Module):
+    """Single-head self-attention over the flattened feature map
+    (reference unet_small.py:139-191). Softmax in fp32."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        h = GroupNorm32(dtype=self.dtype, name="norm")(x)
+        q = nn.Conv(C, (1, 1), dtype=self.dtype, name="q")(h).reshape(B, H * W, C)
+        k = nn.Conv(C, (1, 1), dtype=self.dtype, name="k")(h).reshape(B, H * W, C)
+        v = nn.Conv(C, (1, 1), dtype=self.dtype, name="v")(h).reshape(B, H * W, C)
+
+        scale = C ** -0.5
+        logits = jnp.einsum("bqc,bkc->bqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        h = jnp.einsum("bqk,bkc->bqc", w, v).reshape(B, H, W, C)
+        h = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_out")(h)
+        return x + h
+
+
+class Downsample(nn.Module):
+    with_conv: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.with_conv:
+            # asymmetric (0,1) pad on H and W, then stride-2 VALID conv —
+            # mirrors the reference's manual pad (unet_small.py:69-76)
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            return nn.Conv(x.shape[-1], (3, 3), strides=(2, 2), padding="VALID",
+                           dtype=self.dtype, name="conv")(x)
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class Upsample(nn.Module):
+    with_conv: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        if self.with_conv:
+            x = nn.Conv(C, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        return x
+
+
+class UNetSmall(nn.Module):
+    """DDPM CIFAR U-Net. ``__call__(x_nhwc, t) -> eps_nhwc``.
+
+    Config mirrors the reference constructor (unet_small.py:194-205):
+    ch, out_ch, ch_mult, num_res_blocks, attn_resolutions, dropout,
+    resamp_with_conv, in_channels, resolution.
+    """
+
+    ch: int = 128
+    out_ch: int = 3
+    ch_mult: Sequence[int] = (1, 2, 2, 2)
+    num_res_blocks: int = 2
+    attn_resolutions: Sequence[int] = (16,)
+    dropout: float = 0.0
+    resamp_with_conv: bool = True
+    in_channels: int = 3
+    resolution: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, t: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        assert x.shape[1] == x.shape[2] == self.resolution, x.shape
+        num_resolutions = len(self.ch_mult)
+        temb_ch = self.ch * 4
+
+        # timestep embedding MLP
+        temb = timestep_embedding(t, self.ch)
+        temb = nn.Dense(temb_ch, dtype=self.dtype, name="temb_dense0")(temb.astype(self.dtype))
+        temb = nn.Dense(temb_ch, dtype=self.dtype, name="temb_dense1")(swish(temb))
+
+        x = x.astype(self.dtype)
+        hs = [nn.Conv(self.ch, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)]
+        curr_res = self.resolution
+
+        # encoder
+        for i_level in range(num_resolutions):
+            block_out = self.ch * self.ch_mult[i_level]
+            for i_block in range(self.num_res_blocks):
+                h = ResnetBlock(block_out, self.dropout, dtype=self.dtype,
+                                name=f"down_{i_level}_block_{i_block}")(
+                    hs[-1], temb, deterministic=deterministic)
+                if curr_res in self.attn_resolutions:
+                    h = AttnBlock(dtype=self.dtype,
+                                  name=f"down_{i_level}_attn_{i_block}")(h)
+                hs.append(h)
+            if i_level != num_resolutions - 1:
+                hs.append(Downsample(self.resamp_with_conv, dtype=self.dtype,
+                                     name=f"down_{i_level}_downsample")(hs[-1]))
+                curr_res //= 2
+
+        # middle
+        h = hs[-1]
+        h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype,
+                        name="mid_block_1")(h, temb, deterministic=deterministic)
+        h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
+        h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype,
+                        name="mid_block_2")(h, temb, deterministic=deterministic)
+
+        # decoder with skip concat
+        for i_level in reversed(range(num_resolutions)):
+            block_out = self.ch * self.ch_mult[i_level]
+            for i_block in range(self.num_res_blocks + 1):
+                h = ResnetBlock(block_out, self.dropout, dtype=self.dtype,
+                                name=f"up_{i_level}_block_{i_block}")(
+                    jnp.concatenate([h, hs.pop()], axis=-1), temb,
+                    deterministic=deterministic)
+                if curr_res in self.attn_resolutions:
+                    h = AttnBlock(dtype=self.dtype,
+                                  name=f"up_{i_level}_attn_{i_block}")(h)
+            if i_level != 0:
+                h = Upsample(self.resamp_with_conv, dtype=self.dtype,
+                             name=f"up_{i_level}_upsample")(h)
+                curr_res *= 2
+        assert not hs
+
+        h = GroupNorm32(dtype=self.dtype, name="norm_out")(h)
+        h = swish(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
+        return h.astype(jnp.float32)
+
+
+class UNetSmallEncoder(nn.Module):
+    """Encoder half of UNetSmall with a pooled scalar head — the
+    time-DEPENDENT value network option (reference unet_small.py:336-443)."""
+
+    ch: int = 128
+    out_ch: int = 1
+    ch_mult: Sequence[int] = (1, 2, 2, 2)
+    num_res_blocks: int = 2
+    attn_resolutions: Sequence[int] = (16,)
+    dropout: float = 0.0
+    resamp_with_conv: bool = True
+    in_channels: int = 3
+    resolution: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, t: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        assert x.shape[1] == x.shape[2] == self.resolution
+        num_resolutions = len(self.ch_mult)
+        temb_ch = self.ch * 4
+
+        temb = timestep_embedding(t, self.ch)
+        temb = nn.Dense(temb_ch, dtype=self.dtype, name="temb_dense0")(temb.astype(self.dtype))
+        temb = nn.Dense(temb_ch, dtype=self.dtype, name="temb_dense1")(swish(temb))
+
+        x = x.astype(self.dtype)
+        h = nn.Conv(self.ch, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+        curr_res = self.resolution
+
+        for i_level in range(num_resolutions):
+            block_out = self.ch * self.ch_mult[i_level]
+            for i_block in range(self.num_res_blocks):
+                h = ResnetBlock(block_out, self.dropout, dtype=self.dtype,
+                                name=f"down_{i_level}_block_{i_block}")(
+                    h, temb, deterministic=deterministic)
+                if curr_res in self.attn_resolutions:
+                    h = AttnBlock(dtype=self.dtype,
+                                  name=f"down_{i_level}_attn_{i_block}")(h)
+            if i_level != num_resolutions - 1:
+                h = Downsample(self.resamp_with_conv, dtype=self.dtype,
+                               name=f"down_{i_level}_downsample")(h)
+                curr_res //= 2
+
+        h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype,
+                        name="mid_block_1")(h, temb, deterministic=deterministic)
+        h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
+        h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype,
+                        name="mid_block_2")(h, temb, deterministic=deterministic)
+
+        # head: GN -> SiLU -> global average pool -> 1x1 conv -> flatten
+        # (reference uses default-eps GroupNorm here, unet_small.py:405-411)
+        h = h.astype(jnp.float32)
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32, name="out_norm")(h)
+        h = jax.nn.silu(h)
+        h = jnp.mean(h, axis=(1, 2), keepdims=True)
+        h = nn.Conv(self.out_ch, (1, 1), dtype=jnp.float32, name="out_conv")(h)
+        return h.reshape(h.shape[0], -1)

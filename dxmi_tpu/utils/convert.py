@@ -1,0 +1,180 @@
+"""PyTorch-checkpoint -> Flax-params conversion.
+
+The published DxMI checkpoints (pretrained/cifar10_ddpm etc., reference
+README.md:92-105) are PyTorch state dicts in NCHW layout. This module maps
+them onto dxmi_tpu's NHWC Flax parameter trees:
+
+  * Conv2d weight (O, I, kh, kw)   -> Conv kernel (kh, kw, I, O)
+  * Linear weight (O, I)           -> Dense kernel (I, O)
+  * GroupNorm weight/bias          -> scale/bias
+  * Embedding weight               -> embedding
+
+``fix_legacy_dict`` replicates the reference's checkpoint-key fixups
+(/root/reference/utils.py:260-273): strip ``module.`` prefixes and unwrap
+``model`` / ``state_dict`` containers.
+
+Inputs are dicts of numpy arrays (call ``torch_state_to_numpy`` first if
+you have torch tensors) so this module itself never imports torch.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def torch_state_to_numpy(state_dict) -> Dict[str, np.ndarray]:
+    """Detach/convert a torch state dict to numpy (requires torch)."""
+    return {k: np.asarray(v.detach().cpu().numpy()) for k, v in state_dict.items()}
+
+
+def fix_legacy_dict(d: Dict[str, Any]) -> Dict[str, Any]:
+    """Unwrap 'model'/'state_dict'/'ema' containers and strip 'module.'."""
+    keys = list(d.keys())
+    if "model" in keys:
+        d = d["model"]
+    elif "state_dict" in keys:
+        d = d["state_dict"]
+    elif "ema" in keys:
+        d = d["ema"]
+    return {k.replace("module.", ""): v for k, v in d.items()}
+
+
+def _set(tree: Dict, path, leaf) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = leaf
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    # (O, I, kh, kw) -> (kh, kw, I, O)
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _dense_kernel(w: np.ndarray) -> np.ndarray:
+    # (O, I) -> (I, O)
+    return np.transpose(w, (1, 0))
+
+
+# ---------------------------------------------------------------------------
+# UNetSmall (reference models/DxMI/unet_small.py checkpoint layout)
+# ---------------------------------------------------------------------------
+
+_UNET_SMALL_RENAMES = [
+    (re.compile(r"^temb\.dense\.(\d)\."), lambda m: f"temb_dense{m.group(1)}."),
+    (re.compile(r"^down\.(\d+)\.block\.(\d+)\."), lambda m: f"down_{m.group(1)}_block_{m.group(2)}."),
+    (re.compile(r"^down\.(\d+)\.attn\.(\d+)\."), lambda m: f"down_{m.group(1)}_attn_{m.group(2)}."),
+    (re.compile(r"^down\.(\d+)\.downsample\."), lambda m: f"down_{m.group(1)}_downsample."),
+    (re.compile(r"^up\.(\d+)\.block\.(\d+)\."), lambda m: f"up_{m.group(1)}_block_{m.group(2)}."),
+    (re.compile(r"^up\.(\d+)\.attn\.(\d+)\."), lambda m: f"up_{m.group(1)}_attn_{m.group(2)}."),
+    (re.compile(r"^up\.(\d+)\.upsample\."), lambda m: f"up_{m.group(1)}_upsample."),
+    (re.compile(r"^mid\.block_1\."), lambda m: "mid_block_1."),
+    (re.compile(r"^mid\.attn_1\."), lambda m: "mid_attn_1."),
+    (re.compile(r"^mid\.block_2\."), lambda m: "mid_block_2."),
+]
+
+# module-local names that are GroupNorms in the reference U-Net
+_GN_NAMES = {"norm", "norm1", "norm2", "norm_out"}
+# module-local names that are Linear layers
+_DENSE_NAMES = {"temb_dense0", "temb_dense1", "temb_proj"}
+
+
+def convert_unet_small(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Convert a reference unet_small ``Model`` state dict to Flax params.
+
+    Returns ``{'params': tree}``. A ``log_betas`` entry (injected into the
+    torch net by VARSampler, var_sampler.py:354-355) is returned separately
+    under key ``'log_betas'`` when present — in dxmi_tpu it belongs to the
+    sampler's parameter tree, not the network's.
+    """
+    state = fix_legacy_dict(state)
+    params: Dict[str, Any] = {}
+    log_betas: Optional[np.ndarray] = None
+
+    for key, val in state.items():
+        val = np.asarray(val, dtype=np.float32)
+        if key == "log_betas":
+            log_betas = val
+            continue
+        if key == "std":  # buffer registered for trainable_beta='fix_last'
+            continue
+
+        name = key
+        for pat, repl in _UNET_SMALL_RENAMES:
+            name = pat.sub(lambda m, r=repl: r(m), name)
+
+        parts = name.split(".")
+        *mods, leaf = parts
+        local = mods[-1] if mods else ""
+
+        if local in _GN_NAMES or (local == "norm" and "attn" in name):
+            # GroupNorm -> GroupNorm32 wrapper: <mod>/gn/{scale,bias}
+            leaf_name = "scale" if leaf == "weight" else "bias"
+            _set(params, mods + ["gn", leaf_name], val)
+        elif leaf == "weight":
+            if val.ndim == 4:
+                _set(params, mods + ["kernel"], _conv_kernel(val))
+            elif val.ndim == 2:
+                _set(params, mods + ["kernel"], _dense_kernel(val))
+            else:
+                _set(params, mods + ["scale"], val)
+        elif leaf == "bias":
+            _set(params, mods + ["bias"], val)
+        else:
+            raise ValueError(f"unhandled key: {key} -> {name}")
+
+    out = {"params": params}
+    if log_betas is not None:
+        out["log_betas"] = log_betas
+    return out
+
+
+# ---------------------------------------------------------------------------
+# IGEBMEncoder (reference models/modules.py checkpoint layout)
+# ---------------------------------------------------------------------------
+
+
+def convert_igebm(state: Dict[str, np.ndarray], keepdim: bool = False) -> Dict[str, Any]:
+    """Convert a reference ``IGEBMEncoderV2`` state dict to Flax params.
+
+    Handles the ``TimeIndependentValue`` wrapper's ``net.`` prefix
+    (value checkpoints are saved as the wrapper's state dict).
+    """
+    state = fix_legacy_dict(state)
+    # strip the TimeIndependentValue wrapper prefix if present
+    if all(k.startswith("net.") for k in state):
+        state = {k[4:]: v for k, v in state.items()}
+
+    params: Dict[str, Any] = {}
+    for key, val in state.items():
+        val = np.asarray(val, dtype=np.float32)
+        name = re.sub(r"^blocks\.(\d+)\.", lambda m: f"block_{m.group(1)}.", key)
+        name = name.replace("skip.0.", "skip.")  # torch Sequential wrapper
+        parts = name.split(".")
+        *mods, leaf = parts
+
+        if "class_embed" in name and leaf == "weight":
+            _set(params, mods + ["embedding"], val)
+        elif leaf == "weight":
+            if val.ndim == 4:
+                _set(params, mods + ["kernel"], _conv_kernel(val))
+            elif val.ndim == 2:
+                # 'linear' is a Dense when keepdim=False, else a 1x1 conv
+                _set(params, mods + ["kernel"], _dense_kernel(val))
+            else:
+                raise ValueError(f"unexpected weight ndim for {key}: {val.ndim}")
+        elif leaf == "bias":
+            _set(params, mods + ["bias"], val)
+        elif "parametrizations" in name:
+            raise NotImplementedError(
+                "spectral-norm parametrized checkpoints not supported yet")
+        else:
+            raise ValueError(f"unhandled key: {key}")
+    return {"params": params}
+
+
+def wrap_value_params(igebm_params: Dict[str, Any]) -> Dict[str, Any]:
+    """Nest encoder params under the TimeIndependentValue module."""
+    return {"params": {"net": igebm_params["params"]}}

@@ -1,16 +1,26 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Must set XLA flags before jax initialises its backends, so this lives at
-conftest import time (pytest imports conftest before test modules).
+The container's sitecustomize registers the axon TPU backend in every
+python process and pins ``jax_platforms='axon,cpu'``, overriding the
+JAX_PLATFORMS env var — so tests must force CPU via jax.config *after*
+import but *before* any backend initialisation. XLA flags must also be in
+place before the CPU client spins up.
+
+Mixing torch and the axon TPU client in one process can deadlock a 1-CPU
+box; keep OMP single-threaded for the cross-check tests.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("OMP_NUM_THREADS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import sys

@@ -1,0 +1,131 @@
+"""Network tests: shapes, determinism, and golden-value cross-checks of the
+Flax networks against the reference PyTorch modules via weight conversion."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dxmi_tpu.models.unet_small import UNetSmall, UNetSmallEncoder, timestep_embedding
+from dxmi_tpu.models.igebm import IGEBMEncoder
+from dxmi_tpu.models.value import TimeIndependentValue
+from dxmi_tpu.utils import convert
+from tests.conftest import requires_reference
+
+TINY = dict(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+            attn_resolutions=(8,), dropout=0.0, in_channels=3, resolution=16)
+
+
+def test_unet_small_shapes():
+    model = UNetSmall(**TINY)
+    x = jnp.zeros((2, 16, 16, 3))
+    t = jnp.array([0.5, 3.2])
+    params = model.init(jax.random.key(0), x, t)
+    out = model.apply(params, x, t)
+    assert out.shape == (2, 16, 16, 3)
+    assert out.dtype == jnp.float32
+
+
+def test_unet_small_dropout_rng():
+    model = UNetSmall(**dict(TINY, dropout=0.5))
+    x = jnp.ones((2, 16, 16, 3))
+    t = jnp.array([1.0, 1.0])
+    params = model.init(jax.random.key(0), x, t)
+    a = model.apply(params, x, t, deterministic=True)
+    b = model.apply(params, x, t, deterministic=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    c = model.apply(params, x, t, deterministic=False,
+                    rngs={"dropout": jax.random.key(1)})
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_igebm_shapes():
+    model = IGEBMEncoder(nh=16, keepdim=False, learn_out_scale=True)
+    x = jnp.zeros((2, 32, 32, 3))
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (2, 1)
+
+
+def test_value_wrapper_ignores_t():
+    v = TimeIndependentValue(net=IGEBMEncoder(nh=8, keepdim=False))
+    x = jnp.ones((2, 32, 32, 3))
+    params = v.init(jax.random.key(0), x, jnp.array([0, 0]))
+    a = v.apply(params, x, jnp.array([0, 0]))
+    b = v.apply(params, x, jnp.array([9, 9]))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_unet_small_encoder_shapes():
+    model = UNetSmallEncoder(**dict(TINY, out_ch=1))
+    x = jnp.zeros((2, 16, 16, 3))
+    t = jnp.array([1.0, 2.0])
+    params = model.init(jax.random.key(0), x, t)
+    out = model.apply(params, x, t)
+    assert out.shape == (2, 1)
+
+
+@pytest.mark.slow
+@requires_reference
+class TestTorchParity:
+    """Forward-pass parity vs the reference PyTorch modules with converted
+    random weights (read-only import from the mounted snapshot)."""
+
+    @pytest.fixture(scope="class")
+    def ref_modules(self, reference_path):
+        import sys
+        sys.path.insert(0, str(reference_path))
+        try:
+            from models.DxMI import unet_small as ref_unet
+            from models import modules as ref_modules_
+        finally:
+            sys.path.pop(0)
+        return ref_unet, ref_modules_
+
+    def test_timestep_embedding_parity(self, ref_modules):
+        import torch
+        ref_unet, _ = ref_modules
+        t = np.array([0.0, 1.0, 617.33, 999.0], dtype=np.float32)
+        ref = ref_unet.get_timestep_embedding(torch.from_numpy(t), 128).numpy()
+        ours = np.asarray(timestep_embedding(jnp.asarray(t), 128))
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+    def test_unet_small_forward_parity(self, ref_modules):
+        import torch
+        ref_unet, _ = ref_modules
+        torch.manual_seed(0)
+        tm = ref_unet.Model(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+                            attn_resolutions=[8], dropout=0.0, in_channels=3,
+                            resolution=16)
+        tm.eval()
+
+        x = np.random.RandomState(1).randn(2, 3, 16, 16).astype(np.float32)
+        t = np.array([100.2, 617.0], dtype=np.float32)
+        with torch.no_grad():
+            ref_out = tm(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+
+        flax_params = convert.convert_unet_small(
+            convert.torch_state_to_numpy(tm.state_dict()))
+        model = UNetSmall(**TINY)
+        ours = model.apply({"params": flax_params["params"]},
+                           jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t))
+        ours = np.asarray(ours).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(ours, ref_out, rtol=1e-4, atol=1e-4)
+
+    def test_igebm_forward_parity(self, ref_modules):
+        import torch
+        _, ref_mod = ref_modules
+        torch.manual_seed(0)
+        tm = ref_mod.IGEBMEncoderV2(in_chan=3, out_chan=1, use_spectral_norm=False,
+                                    keepdim=False, out_activation="linear",
+                                    learn_out_scale=True, nh=16)
+        tm.eval()
+        x = np.random.RandomState(2).randn(2, 3, 32, 32).astype(np.float32)
+        with torch.no_grad():
+            ref_out = tm(torch.from_numpy(x)).numpy()
+
+        flax_params = convert.convert_igebm(
+            convert.torch_state_to_numpy(tm.state_dict()))
+        model = IGEBMEncoder(nh=16, keepdim=False, learn_out_scale=True)
+        ours = np.asarray(model.apply(flax_params,
+                                      jnp.asarray(x.transpose(0, 2, 3, 1))))
+        np.testing.assert_allclose(ours, ref_out, rtol=1e-4, atol=1e-4)
