@@ -92,8 +92,11 @@ class VARSampler:
         if self.trainable_beta is True:
             return jnp.exp(params["log_betas"])
         if self.trainable_beta == "fix_last":
+            # last step pinned to the reference's unscaled std buffer value
+            # 1e-3 (var_sampler.py:181,323-324 — note init_sigma may carry
+            # adhoc_scale2, the pin does not)
             sig = jnp.exp(params["log_betas"])
-            return sig.at[-1].set(sch.init_sigma[-1])
+            return sig.at[-1].set(1e-3)
         # analytic: sigma_q with the terminal floor
         return sch.sigma_q.at[-1].set(1e-3)
 

@@ -1,0 +1,440 @@
+"""DxMI trainer — single network as value+energy (2D / CIFAR-10 variant).
+
+Algorithm parity with /root/reference/models/DxMI/trainer.py:73-408
+(``DxMI_Trainer``); each phase is ONE jitted program:
+
+  * ``update_f_v``   — contrastive energy step at the terminal timestep
+    followed by a backward TD sweep with one optimizer step per timestep,
+    expressed as a ``lax.scan`` carrying (v_params, v_opt_state). Matches
+    the reference's sequential semantics exactly (SURVEY.md §7.2: a vmapped
+    parallel update would change training dynamics).
+  * ``update_sampler`` — policy-gradient step(s): re-execute one stochastic
+    denoising step on buffered states with grad enabled, descend
+    V(x_{t+1}) + tau2*cost - tau1*entropy, clip to global-norm 0.1.
+
+Replicated reference quirks (documented, SURVEY.md §7.2):
+  * with a separate energy ``f``, the terminal TD target is f(x_0) and the
+    ``+ tau2*cost`` term is dead (trainer.py:294-300),
+  * ``entropy_in_value``: None disables; any int (including 0) enables,
+  * ``betas_for_q`` index is reversed in time (t_reversed = T-t-1).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dxmi_tpu.schedules import make_beta_schedule
+from dxmi_tpu.trainers.buffer import TrajectoryBuffer
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DxMIState:
+    """All trainable state for one DxMI run (a single pytree)."""
+
+    sampler_params: Any       # {"net": ..., "log_betas": (T,)}
+    v_params: Any
+    opt_state_sampler: Any
+    opt_state_v: Any
+    betas_for_q: jnp.ndarray  # (T,) running-cost betas (EMA-updated)
+
+
+def mean_flat(x: jnp.ndarray) -> jnp.ndarray:
+    return x.reshape(x.shape[0], -1).mean(axis=1)
+
+
+class DxMITrainer:
+    """Static config + jitted update programs. Mirrors the reference
+    constructor surface (trainer.py:74-133)."""
+
+    def __init__(self, batchsize: int, tau1: float = 0.0, tau2: float = 0.0,
+                 gamma: Optional[float] = None,
+                 q_beta_schedule: str = "constant",
+                 q_beta_start: float = 1.0, q_beta_end: float = 1.0,
+                 adavelreg: Optional[float] = None,
+                 n_timesteps: int = 10,
+                 value_update_order: str = "backward",
+                 entropy_in_value: Optional[int] = None,
+                 velocity_in_value: Optional[int] = None,
+                 use_sampler_beta: bool = False,
+                 time_cost: Optional[float] = None,
+                 time_cost_sig: Optional[float] = None,
+                 repeat_value_update: int = 1,
+                 value_resample: bool = False,
+                 value_grad_clip: bool = False,
+                 skip_sampler_tau: int = 0):
+        self.batchsize = int(batchsize)
+        self.n_timesteps = int(n_timesteps)
+        self.tau1 = float(tau1)
+        self.tau2 = float(tau2)
+        self.gamma = gamma
+        self.q_beta_schedule = q_beta_schedule
+        self.q_beta_start = q_beta_start
+        self.q_beta_end = q_beta_end
+        self.adavelreg = adavelreg
+        self.value_update_order = value_update_order
+        self.entropy_in_value = entropy_in_value
+        self.velocity_in_value = velocity_in_value
+        self.use_sampler_beta = use_sampler_beta
+        self.time_cost = time_cost
+        # time_cost_sig may arrive as a YAML bool (True == 1.0), matching
+        # the reference's implicit bool->float promotion
+        self.time_cost_sig = None if time_cost_sig is None else float(time_cost_sig)
+        self.repeat_value_update = int(repeat_value_update)
+        self.value_resample = bool(value_resample)
+        self.value_grad_clip = bool(value_grad_clip)
+        self.skip_sampler_tau = int(skip_sampler_tau)
+
+        self.sampler = None
+        self.value = None
+        self.guidance_scale: Optional[float] = None
+
+    # ------------------------------------------------------------------
+    # setup
+    # ------------------------------------------------------------------
+
+    def set_models(self, sampler, value, lr: float, v_lr: float,
+                   beta_lr: Optional[float] = None) -> None:
+        """Bind the (static) sampler/value modules and build optimizers.
+
+        ``log_betas`` gets its own learning rate, replacing the reference's
+        param-group surgery (train_cifar10.py:283-294).
+        """
+        self.sampler = sampler
+        self.value = value
+
+        if beta_lr is None:
+            beta_lr = lr
+        self.opt_sampler = optax.chain(
+            optax.clip_by_global_norm(0.1),  # reference trainer.py:388
+            optax.multi_transform(
+                {"net": optax.adam(lr), "log_betas": optax.adam(beta_lr)},
+                param_labels=lambda params: {
+                    "net": jax.tree.map(lambda _: "net", params["net"]),
+                    "log_betas": "log_betas",
+                },
+            ),
+        )
+        self.opt_v = optax.adam(v_lr)
+
+        # NOTE: no donate_argnums — the functional API allows callers to
+        # reuse a state pytree after an update (tests do); the production
+        # train loop rebinds and the copy is cheap relative to the model.
+        self._jit_update_f_v = jax.jit(self._update_f_v_impl)
+        self._jit_update_sampler = jax.jit(
+            self._update_sampler_impl, static_argnames=("n_generator",))
+
+    def init_betas_for_q(self) -> jnp.ndarray:
+        if self.use_sampler_beta:
+            if hasattr(self.sampler, "user_defined_eta"):
+                return jnp.asarray(self.sampler.user_defined_eta, dtype=jnp.float32)
+            raise ValueError("use_sampler_beta requires a sampler schedule")
+        return jnp.asarray(make_beta_schedule(
+            schedule=self.q_beta_schedule, n_timesteps=self.n_timesteps,
+            start=self.q_beta_start, end=self.q_beta_end))
+
+    def init_state(self, sampler_params, v_params) -> DxMIState:
+        return DxMIState(
+            sampler_params=sampler_params,
+            v_params=v_params,
+            opt_state_sampler=self.opt_sampler.init(sampler_params),
+            opt_state_v=self.opt_v.init(v_params),
+            betas_for_q=self.init_betas_for_q(),
+        )
+
+    # ------------------------------------------------------------------
+    # shared pieces
+    # ------------------------------------------------------------------
+
+    def _v_apply(self, v_params, x, t, y=None):
+        return self.value.apply({"params": v_params}, x, t, y).squeeze(-1)
+
+    def _running_cost(self, betas_for_q, state, next_state, t):
+        """(Δx)^2 / (2 beta_q), mean over pixels (trainer.py:163-169).
+        ``t`` is reversed: data side is t=0 of the q process."""
+        t_rev = self.n_timesteps - t - 1
+        beta = jnp.take(betas_for_q, t_rev)
+        return mean_flat((next_state - state) ** 2) / (2.0 * beta)
+
+    def _time_cost_terms(self, t):
+        """Extra per-step costs added to the TD target
+        (trainer.py:302-308)."""
+        add = 0.0
+        if self.time_cost_sig is not None:
+            center = self.n_timesteps // 2
+            tf = t.astype(jnp.float32)
+            add = add + self.time_cost_sig * (
+                jax.nn.sigmoid(-tf + center) - jax.nn.sigmoid(-tf - 1 + center))
+        if self.time_cost is not None:
+            add = add + self.time_cost
+        return add
+
+    # ------------------------------------------------------------------
+    # value / energy update
+    # ------------------------------------------------------------------
+
+    def update_f_v(self, state: DxMIState, img: jnp.ndarray,
+                   buffer: TrajectoryBuffer, key: jax.Array
+                   ) -> Tuple[DxMIState, Dict[str, jnp.ndarray]]:
+        return self._jit_update_f_v(state, img, buffer, key)
+
+    def _update_f_v_impl(self, state: DxMIState, img, buffer: TrajectoryBuffer, key):
+        T = self.n_timesteps
+        last = buffer.last()  # TD consumes the newest trajectory only
+        # drop the K=1 axis -> (T, B, ...)
+        traj = jax.tree.map(lambda a: a[0], last)
+
+        # ---- adaptive velocity regularization (trainer.py:218-228) ----
+        betas_for_q = state.betas_for_q
+        if self.adavelreg is not None:
+            # per-step mean of (Δx)^2 over (B, H, W, C), reversed so index 0
+            # is the data side (trainer.py:222-228)
+            diff = ((traj.next_state - traj.state) ** 2).reshape(T, -1).mean(axis=1)
+            diff = jnp.flip(diff, axis=0)
+            betas_for_q = betas_for_q * self.adavelreg + (1 - self.adavelreg) * diff
+            betas_for_q = jax.lax.stop_gradient(betas_for_q)
+
+        # ---- energy (terminal contrastive) step (trainer.py:242-264) ----
+        x0 = traj.next_state[-1]
+        inputs = jnp.concatenate([img, x0], axis=0)
+        t_term = jnp.full((inputs.shape[0],), T, dtype=jnp.int32)
+
+        def energy_loss(v_params):
+            out = self._v_apply(v_params, inputs, t_term)
+            pos = out[: img.shape[0]]
+            neg = out[img.shape[0]:]
+            loss = pos.mean() - neg.mean()
+            reg = jnp.asarray(0.0)
+            if self.gamma is not None:
+                reg = (pos ** 2).mean() + (neg ** 2).mean()
+                loss = loss + self.gamma * reg
+            return loss, (pos.mean(), neg.mean(), reg)
+
+        (d_loss, (pos_e, neg_e, reg)), g = jax.value_and_grad(
+            energy_loss, has_aux=True)(state.v_params)
+        updates, opt_state_v = self.opt_v.update(g, state.opt_state_v, state.v_params)
+        v_params = optax.apply_updates(state.v_params, updates)
+
+        # ---- TD sweep: one optimizer step per timestep, backward ----
+        # flip so scan index 0 is timestep T-1 (trainer.py:276-327)
+        t_vals = jnp.arange(T, dtype=jnp.int32)
+        xs = {
+            "state": traj.state,
+            "next_state": traj.next_state,
+            "sigma": traj.sigma,
+            "t": t_vals,
+            "key": jax.random.split(key, T),
+        }
+        if self.value_update_order == "backward":
+            order = jnp.arange(T - 1, -1, -1)
+        elif self.value_update_order == "random":
+            key, okey = jax.random.split(key)
+            order = jax.random.permutation(okey, T)
+        else:
+            raise ValueError(self.value_update_order)
+        xs = jax.tree.map(lambda a: jnp.take(a, order, axis=0), xs)
+
+        def td_step(carry, x):
+            v_params, opt_state_v = carry
+            t = x["t"]
+            tvec = jnp.full((x["state"].shape[0],), t, dtype=jnp.int32)
+            if self.value_resample:
+                d_step = self.sampler.sample_step(
+                    state.sampler_params, x["state"], tvec, x["key"])
+                next_state = jax.lax.stop_gradient(d_step["sample"])
+                sigma = jax.lax.stop_gradient(d_step["sigma"])
+            else:
+                next_state = x["next_state"]
+                sigma = x["sigma"]
+            cost = self._running_cost(betas_for_q, x["state"], next_state, tvec)
+            entropy = jnp.log(sigma)
+
+            v_next = self._v_apply(v_params, next_state, tvec + 1)
+            target = v_next + self._time_cost_terms(tvec)
+            if self.velocity_in_value is not None:
+                nt = (tvec < T - self.velocity_in_value).astype(jnp.float32)
+                target = target + cost * self.tau2 * nt
+            if self.entropy_in_value is not None:
+                nt = (tvec < T - int(self.entropy_in_value)).astype(jnp.float32)
+                target = target - entropy * self.tau1 * nt
+            target = jax.lax.stop_gradient(target)
+
+            def v_loss_fn(p):
+                v = self._v_apply(p, x["state"], tvec)
+                return ((v - target) ** 2).mean(), v.mean()
+
+            (v_loss, v_mean), g = jax.value_and_grad(v_loss_fn, has_aux=True)(v_params)
+            if self.value_grad_clip:
+                gnorm = optax.global_norm(g)
+                scale = jnp.minimum(1.0, 0.1 / (gnorm + 1e-12))
+                g = jax.tree.map(lambda a: a * scale, g)
+            updates, opt_state_v = self.opt_v.update(g, opt_state_v, v_params)
+            v_params = optax.apply_updates(v_params, updates)
+            return (v_params, opt_state_v), {
+                "v_loss": v_loss, "running_cost": cost.mean(), "value": v_mean, "t": t}
+
+        carry = (v_params, opt_state_v)
+        for _ in range(self.repeat_value_update):
+            carry, td_out = jax.lax.scan(td_step, carry, xs)
+        v_params, opt_state_v = carry
+
+        metrics = {
+            "ebm/d_loss_": d_loss,
+            "ebm/v_loss_": td_out["v_loss"][-1],
+            "ebm/pos_e_": pos_e,
+            "ebm/neg_e_": neg_e,
+            "ebm/running_cost_": td_out["running_cost"][-1],
+            "ebm/reg_": reg,
+            # per-step vectors, in update order; host logging expands these
+            "per_step/t": td_out["t"],
+            "per_step/running_cost": td_out["running_cost"],
+            "per_step/value": td_out["value"],
+        }
+        if self.adavelreg is not None:
+            metrics["per_step/betas_for_q"] = betas_for_q
+
+        new_state = DxMIState(
+            sampler_params=state.sampler_params,
+            v_params=v_params,
+            opt_state_sampler=state.opt_state_sampler,
+            opt_state_v=opt_state_v,
+            betas_for_q=betas_for_q,
+        )
+        return new_state, metrics
+
+    # ------------------------------------------------------------------
+    # sampler (policy) update
+    # ------------------------------------------------------------------
+
+    def update_sampler(self, state: DxMIState, buffer: TrajectoryBuffer,
+                       key: jax.Array, n_generator: int = 1
+                       ) -> Tuple[DxMIState, Dict[str, jnp.ndarray]]:
+        flat = buffer.flat()
+        return self._jit_update_sampler(state, flat, key,
+                                        n_generator=int(n_generator))
+
+    def _update_sampler_impl(self, state: DxMIState, flat, key, *, n_generator: int):
+        T = self.n_timesteps
+        B = self.batchsize
+        N = flat["state"].shape[0]
+        G = min(n_generator, max(N // B, 1))
+
+        key, pkey = jax.random.split(key)
+        perm = jax.random.permutation(pkey, N)
+
+        def gather(idx):
+            return (
+                jnp.take(flat["state"], idx, axis=0),
+                jnp.take(flat["timestep"], idx, axis=0),
+            )
+
+        def g_step(carry, inputs):
+            sampler_params, opt_state = carry
+            i, k = inputs
+            idx = jax.lax.dynamic_slice_in_dim(perm, i * B, B)
+            s, t = gather(idx)
+            k_step, k_drop = jax.random.split(k)
+
+            def loss_fn(p):
+                d = self.sampler.sample_step(p, s, t, k_step, train=True,
+                                             dropout_rng=k_drop)
+                cost = self._running_cost(state.betas_for_q, s, d["sample"], t)
+                causal_entropy = jnp.log(d["sigma"])
+                v_term = self._v_apply(state.v_params, d["sample"], t + 1)
+                nt = (t < T - self.skip_sampler_tau).astype(jnp.float32)
+                loss = (v_term + (cost * self.tau2
+                                  - causal_entropy * self.tau1) * nt).mean()
+                return loss, (v_term.mean(), cost.mean(), causal_entropy.mean())
+
+            (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(sampler_params)
+            updates, opt_state = self.opt_sampler.update(g, opt_state, sampler_params)
+            sampler_params = optax.apply_updates(sampler_params, updates)
+            return (sampler_params, opt_state), (loss, *aux)
+
+        keys = jax.random.split(key, G)
+        (sampler_params, opt_state), outs = jax.lax.scan(
+            g_step, (state.sampler_params, state.opt_state_sampler),
+            (jnp.arange(G), keys))
+        loss, v_term, cost, causal_entropy = (o[-1] for o in outs)
+
+        metrics = {
+            "sampler/sampler_loss_": loss,
+            "sampler/sampler_value_loss_": v_term,
+            "sampler/running_cost_": cost,
+            "sampler/causal_entropy_": causal_entropy,
+            "per_step/sigma": jnp.exp(sampler_params["log_betas"]),
+        }
+        new_state = DxMIState(
+            sampler_params=sampler_params,
+            v_params=state.v_params,
+            opt_state_sampler=opt_state,
+            opt_state_v=state.opt_state_v,
+            betas_for_q=state.betas_for_q,
+        )
+        return new_state, metrics
+
+    # ------------------------------------------------------------------
+    # value-guided sampling (trainer.py:171-216)
+    # ------------------------------------------------------------------
+
+    def sample_guidance(self, state: DxMIState, key: jax.Array, n_sample: int,
+                        guidance_scale: Optional[float] = None,
+                        x0: Optional[jnp.ndarray] = None,
+                        t_select: Optional[Tuple[int, ...]] = None) -> Dict[str, Any]:
+        """Sample with value-gradient guidance: after each policy step, move
+        along grad_x V(x, t+1) scaled by guidance_scale * sigma."""
+        if guidance_scale is None:
+            guidance_scale = self.guidance_scale
+        T = self.n_timesteps
+
+        if x0 is None:
+            key, k0 = jax.random.split(key)
+            x0 = jax.random.normal(k0, (n_sample, *self.sampler.sample_shape))
+
+        def v_sum(x, t):
+            return self._v_apply(state.v_params, x, t).sum()
+
+        grad_v = jax.grad(v_sum)
+
+        def step(x, inputs):
+            t, k = inputs
+            tvec = jnp.full((x.shape[0],), t, dtype=jnp.int32)
+            d = self.sampler.sample_step(state.sampler_params, x, tvec, k)
+            next_x = jax.lax.stop_gradient(d["sample"])
+            g = grad_v(next_x, tvec + 1)
+            sigma = d["sigma"].reshape(-1, *([1] * (x.ndim - 1)))
+            guidance = g * guidance_scale * sigma
+            if t_select is not None:
+                use = jnp.isin(t, jnp.asarray(t_select))
+                next_x = jnp.where(use, next_x + guidance, next_x)
+            else:
+                next_x = next_x + guidance
+            logp_orig = _normal_logp_mean(next_x, d["mean"], sigma)
+            return next_x, {"x": next_x, "guidance": guidance,
+                            "logp": d["logp"], "logp_on": logp_orig}
+
+        keys = jax.random.split(key, T)
+        x_final, traj = jax.lax.scan(step, x0, (jnp.arange(T), keys))
+        return {
+            "sample": x_final,
+            "l_sample": jnp.concatenate([x0[None], traj["x"]], axis=0),
+            "logp": traj["logp"],
+            "logp_on": traj["logp_on"],
+            "logp_traj": traj["logp"].sum(axis=0),
+            "logp_on_traj": traj["logp_on"].sum(axis=0),
+            "guidance": traj["guidance"],
+        }
+
+
+def _normal_logp_mean(x, mean, sigma):
+    import math
+
+    z = (x - mean) / sigma
+    logp = -0.5 * z * z - jnp.log(sigma) - 0.5 * math.log(2 * math.pi)
+    return logp.reshape(x.shape[0], -1).mean(axis=1)
