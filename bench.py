@@ -1,0 +1,62 @@
+"""Benchmark: CIFAR-10 T=10 sampling throughput on the flagship DDPM U-Net.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N/2000}
+
+Baseline: BASELINE.md north-star — >= 2,000 images/sec/chip sampling
+(CIFAR T=10) on TPU v5e. The reference publishes no throughput numbers
+(SURVEY.md §6), so the driver-set target is the denominator.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_IMAGES_PER_SEC = 2000.0
+
+
+def main():
+    from dxmi_tpu.models.unet_small import UNetSmall
+    from dxmi_tpu.samplers.var import VARSampler
+
+    batch = 256
+    dtype = jnp.bfloat16
+
+    net = UNetSmall(ch=128, out_ch=3, ch_mult=(1, 2, 2, 2), num_res_blocks=2,
+                    attn_resolutions=(16,), dropout=0.0, in_channels=3,
+                    resolution=32, dtype=dtype)
+    sampler = VARSampler(net, n_timesteps=10, sample_shape=(3, 32, 32),
+                         trainable_beta="fix_last")
+    params = sampler.init_params(jax.random.key(0))
+
+    sample = jax.jit(lambda p, k: sampler.sample(p, k, batch)["sample"])
+
+    # warmup / compile
+    key = jax.random.key(1)
+    out = sample(params, key)
+    jax.block_until_ready(out)
+
+    n_iters = 8
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        key, k = jax.random.split(key)
+        out = sample(params, k)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    images_per_sec = batch * n_iters / dt
+    n_chips = jax.device_count()
+    per_chip = images_per_sec / n_chips
+    print(json.dumps({
+        "metric": "cifar10_t10_sampling_throughput_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(per_chip / BASELINE_IMAGES_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

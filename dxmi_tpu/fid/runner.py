@@ -1,0 +1,110 @@
+"""In-training FID orchestration (the reference's ``calculate_fid`` flow,
+/root/reference/train_cifar10.py:81-139, adapted to TPU):
+
+  * generate n_fid_samples on-device in sampling_batchsize chunks,
+  * run the Flax Inception pool3 extractor on-device (no PNG round-trip —
+    the reference writes 10k PNGs to disk and re-reads them; we keep the
+    whole loop on the chip and only touch the host for the final mean/cov),
+  * compare against cached dataset statistics (``fid_stats`` msgpack /
+    ``.pt`` / ``.npz`` all accepted).
+
+Everything degrades gracefully: if Inception weights or dataset statistics
+are not on disk (this container has no egress), FID is skipped and the
+trainer continues.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dxmi_tpu.fid import stats as stats_lib
+
+DEFAULT_WEIGHTS = ("datasets/pt_inception-2015-12-05.npz",
+                   "pretrained/pt_inception-2015-12-05.npz",
+                   "datasets/pt_inception-2015-12-05.pth",
+                   "pretrained/pt_inception-2015-12-05.pth")
+DEFAULT_STATS = ("datasets/cifar10_train_fid_stats.pt",
+                 "datasets/cifar10_train_fid_stats.npz",
+                 "datasets/fid_stats_cifar10_train.npz")
+
+
+def _find(paths) -> Optional[str]:
+    for p in paths:
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def load_dataset_stats(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    if path.endswith(".npz"):
+        d = np.load(path)
+        if "mu" in d:
+            return d["mu"], d["sigma"]
+        return d["m2"], d["s2"]
+    if path.endswith(".pt"):
+        import torch
+
+        d = torch.load(path, map_location="cpu", weights_only=False)
+        return np.asarray(d["m2"]), np.asarray(d["s2"])
+    raise ValueError(f"unknown stats format: {path}")
+
+
+class FIDState:
+    """Cached extractor params + dataset stats."""
+
+    def __init__(self, extract_fn, m2, s2):
+        self.extract_fn = extract_fn
+        self.m2 = m2
+        self.s2 = s2
+
+
+def build_fid_state(weights_path: str, stats_path: str) -> FIDState:
+    from dxmi_tpu.fid.inception import InceptionV3FID, load_fid_inception_params
+
+    model = InceptionV3FID()
+    params = load_fid_inception_params(weights_path)
+
+    @jax.jit
+    def extract(x01):
+        """x01: (B, H, W, C) in [0, 1] -> (B, 2048) pool3 activations."""
+        return model.apply({"params": params}, x01)
+
+    m2, s2 = load_dataset_stats(stats_path)
+    return FIDState(extract, m2, s2)
+
+
+def compute_fid_from_sampler(sampler, sampler_params, key, fid_state: FIDState,
+                             n_samples: int, batch: int) -> float:
+    acts = []
+    n_batches = int(np.ceil(n_samples / batch))
+    sample_jit = jax.jit(lambda p, k: sampler.sample(p, k, batch)["sample"])
+    for i in range(n_batches):
+        key, k = jax.random.split(key)
+        x = sample_jit(sampler_params, k)           # [-1, 1]
+        x01 = jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
+        acts.append(np.asarray(fid_state.extract_fn(x01)))
+    acts = np.concatenate(acts)[:n_samples]
+    m1, s1 = stats_lib.activation_statistics(acts)
+    return stats_lib.frechet_distance(m1, s1, fid_state.m2, fid_state.s2)
+
+
+def maybe_compute_fid(cfg: Dict[str, Any], sampler, sampler_params, key,
+                      fid_state: Optional[FIDState]
+                      ) -> Tuple[Optional[float], Optional[FIDState]]:
+    """Entry-point hook: compute FID when weights+stats exist, else skip."""
+    if fid_state is None:
+        w = _find(DEFAULT_WEIGHTS)
+        s = _find(DEFAULT_STATS)
+        if w is None or s is None:
+            return None, None
+        fid_state = build_fid_state(w, s)
+    tr = cfg["training"]
+    fid = compute_fid_from_sampler(
+        sampler, sampler_params, key, fid_state,
+        n_samples=int(tr["n_fid_samples"]),
+        batch=int(tr["sampling_batchsize"]))
+    return fid, fid_state

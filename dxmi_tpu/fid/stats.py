@@ -1,0 +1,66 @@
+"""Activation statistics and Frechet distance.
+
+Math parity with /root/reference/pytorch_fid/fid_score.py:224-364:
+mean/cov of 2048-d pool3 activations, Frechet distance via matrix sqrt
+with the same eps-jitter fallback and imaginary-component check.
+
+TPU-native note: on-device the matrix sqrt can run as a Newton-Schulz
+iteration in fp32 (``sqrtm_newton_schulz``); the scipy path reproduces the
+reference bit-for-bit on host.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def activation_statistics(acts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(N, D) activations -> (mu (D,), sigma (D, D)) with ddof=1 covariance
+    (np.cov default, matching fid_score.py:164-166)."""
+    acts = np.asarray(acts, dtype=np.float64)
+    mu = acts.mean(axis=0)
+    sigma = np.cov(acts, rowvar=False)
+    return mu, sigma
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """Frechet distance between two Gaussians (fid_score.py:224-278)."""
+    from scipy import linalg
+
+    mu1 = np.atleast_1d(np.asarray(mu1, dtype=np.float64))
+    mu2 = np.atleast_1d(np.asarray(mu2, dtype=np.float64))
+    sigma1 = np.atleast_2d(np.asarray(sigma1, dtype=np.float64))
+    sigma2 = np.atleast_2d(np.asarray(sigma2, dtype=np.float64))
+    assert mu1.shape == mu2.shape and sigma1.shape == sigma2.shape
+
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            m = np.max(np.abs(covmean.imag))
+            raise ValueError(f"Imaginary component {m}")
+        covmean = covmean.real
+    return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
+                 - 2 * np.trace(covmean))
+
+
+def sqrtm_newton_schulz(a: np.ndarray, iters: int = 50):
+    """Matrix square root by Newton-Schulz iteration — runs well on the MXU
+    (pure matmuls) for on-device FID; float64 on host for testing."""
+    import jax.numpy as jnp
+
+    a = jnp.asarray(a)
+    dim = a.shape[0]
+    norm = jnp.linalg.norm(a)
+    y = a / norm
+    z = jnp.eye(dim, dtype=a.dtype)
+    eye3 = 3.0 * jnp.eye(dim, dtype=a.dtype)
+    for _ in range(iters):
+        t = 0.5 * (eye3 - z @ y)
+        y = y @ t
+        z = t @ z
+    return y * jnp.sqrt(norm)

@@ -1,0 +1,328 @@
+"""ADM / consistency-models U-Net, TPU-native.
+
+Capability parity with /root/reference/models/cm/unet.py (``UNetModel``):
+FiLM (scale-shift) GroupNorm conditioning, resblock up/downsampling,
+multi-head QKV attention at selected downsample rates, class embedding,
+zero-initialised output convs.
+
+TPU-first design decisions:
+  * NHWC + fp32 params / configurable bf16 compute dtype. This replaces
+    the reference's manual fp16 stack (convert_to_fp16, master-param
+    copies, dynamic loss scaling — cm/fp16_util.py) with bf16, which needs
+    none of it.
+  * Attention is one einsum pair per block with fp32 softmax. The
+    reference's "legacy" path force-casts QKV to fp16 (cm/unet.py:423) —
+    a GPU flash-attn compatibility quirk we deliberately normalise away.
+  * Optional gradient checkpointing via ``nn.remat`` on ResBlocks
+    (the reference's CheckpointFunction, cm/nn.py:140-186).
+
+Module names mirror the torch state-dict paths (``input_blocks_1_0`` etc.)
+so checkpoint conversion (utils/convert.convert_unet_adm) is mechanical.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dxmi_tpu.ops import trig
+
+
+def adm_timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
+    """ADM sinusoidal embedding: freq base i/half, concat(cos, sin) —
+    NOTE ordering differs from the DDPM variant (cm/nn.py:119-137)."""
+    half = dim // 2
+    exponents = np.arange(half, dtype=np.float32) * np.float32(-math.log(max_period) / half)
+    freqs = jnp.asarray(np.exp(exponents.astype(np.float64)).astype(np.float32))
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    # accurate large-argument trig (see dxmi_tpu/ops/trig.py); |rescaled_t|
+    # reaches ~1550 on the EDM sigma grid
+    r = trig.reduce_mod_2pi(args)
+    emb = jnp.concatenate([jnp.cos(r), jnp.sin(r)], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class GroupNormADM(nn.Module):
+    """fp32 GroupNorm(32) (the reference's GroupNorm32, cm/nn.py:19-21)."""
+
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out = nn.GroupNorm(num_groups=32, epsilon=self.eps, dtype=jnp.float32,
+                           name="gn")(x.astype(jnp.float32))
+        return out.astype(self.dtype)
+
+
+def zeros_init(key, shape, dtype=jnp.float32):
+    return jnp.zeros(shape, dtype)
+
+
+class ResBlockADM(nn.Module):
+    """GN-SiLU-conv / emb-FiLM / GN-SiLU-drop-zeroconv residual block with
+    optional in-block resampling (cm/unet.py:147-260)."""
+
+    out_channels: int
+    dropout: float = 0.0
+    use_scale_shift_norm: bool = False
+    up: bool = False
+    down: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb, *, deterministic: bool = True):
+        in_ch = x.shape[-1]
+        h = GroupNormADM(dtype=self.dtype, name="in_layers_0")(x)
+        h = jax.nn.silu(h)
+        if self.up:
+            h = _upsample2x(h)
+            x = _upsample2x(x)
+        elif self.down:
+            h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="in_layers_2")(h)
+
+        emb_ch = 2 * self.out_channels if self.use_scale_shift_norm else self.out_channels
+        emb_out = nn.Dense(emb_ch, dtype=self.dtype,
+                           name="emb_layers_1")(jax.nn.silu(emb))
+        emb_out = emb_out[:, None, None, :]
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = GroupNormADM(dtype=self.dtype, name="out_layers_0")(h)
+            h = h * (1 + scale) + shift
+        else:
+            h = h + emb_out
+            h = GroupNormADM(dtype=self.dtype, name="out_layers_0")(h)
+        h = jax.nn.silu(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    kernel_init=zeros_init, name="out_layers_3")(h)
+
+        if in_ch != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="skip_connection")(x)
+        return x + h
+
+
+def _upsample2x(x):
+    B, H, W, C = x.shape
+    return jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+
+
+class AttentionBlockADM(nn.Module):
+    """Multi-head self-attention over the flattened map
+    (cm/unet.py:263-378; QKV channel layout = heads-outer, matching the
+    legacy rearrange for weight-conversion compatibility)."""
+
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        S = H * W
+        nh = self.num_heads
+        d = C // nh
+        h = GroupNormADM(dtype=self.dtype, name="norm")(x)
+        qkv = nn.Conv(3 * C, (1, 1), dtype=self.dtype, name="qkv")(h)
+        qkv = qkv.reshape(B, S, 3, nh, d)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        scale = 1.0 / math.sqrt(math.sqrt(d))
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k * scale,
+                            preferred_element_type=jnp.float32)
+        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        a = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(B, H, W, C)
+        a = nn.Conv(C, (1, 1), dtype=self.dtype, kernel_init=zeros_init,
+                    name="proj_out")(a)
+        return x + a
+
+
+class UNetADM(nn.Module):
+    """The full ADM U-Net. ``__call__(x_nhwc, t[, y])``.
+
+    Constructor mirrors the reference (cm/unet.py:556-603); channel_mult
+    defaults resolve per image_size as in cm/script_util.py:122-134.
+    """
+
+    image_size: int
+    in_channels: int = 3
+    model_channels: int = 192
+    out_channels: int = 3
+    num_res_blocks: int = 3
+    attention_resolutions: Tuple[int, ...] = (2, 4, 8)  # downsample RATES
+    dropout: float = 0.0
+    channel_mult: Tuple[int, ...] = ()
+    conv_resample: bool = True
+    num_classes: Optional[int] = None
+    num_heads: int = 1
+    num_head_channels: int = -1
+    num_heads_upsample: int = -1
+    use_scale_shift_norm: bool = False
+    resblock_updown: bool = False
+    use_checkpoint: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def _channel_mult(self) -> Tuple[int, ...]:
+        if self.channel_mult:
+            return tuple(self.channel_mult)
+        return {512: (1, 1, 2, 2, 4, 4), 256: (1, 1, 2, 2, 4, 4),
+                128: (1, 1, 2, 3, 4), 64: (1, 2, 3, 4),
+                32: (1, 2, 2, 2)}[self.image_size]
+
+    def _heads(self, ch: int, upsample: bool) -> int:
+        if self.num_head_channels != -1:
+            return ch // self.num_head_channels
+        if upsample and self.num_heads_upsample != -1:
+            return self.num_heads_upsample
+        return self.num_heads
+
+    @nn.compact
+    def __call__(self, x, t, y=None, *, deterministic: bool = True):
+        ch_mult = self._channel_mult()
+        mc = self.model_channels
+        ted = mc * 4
+
+        emb = adm_timestep_embedding(t, mc)
+        emb = nn.Dense(ted, dtype=self.dtype, name="time_embed_0")(emb.astype(self.dtype))
+        emb = nn.Dense(ted, dtype=self.dtype, name="time_embed_2")(jax.nn.silu(emb))
+        if self.num_classes is not None:
+            assert y is not None, "class-conditional model needs y"
+            emb = emb + nn.Embed(self.num_classes, ted, dtype=self.dtype,
+                                 name="label_emb")(y)
+
+        res_block = ResBlockADM
+        if self.use_checkpoint:
+            res_block = nn.remat(ResBlockADM, static_argnums=())
+
+        x = x.astype(self.dtype)
+        ch = int(ch_mult[0] * mc)
+        h = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
+                    name="input_blocks_0_0")(x)
+        hs = [h]
+        i_block = 1
+        ds = 1
+        for level, mult in enumerate(ch_mult):
+            for _ in range(self.num_res_blocks):
+                ch = int(mult * mc)
+                h = res_block(ch, self.dropout, self.use_scale_shift_norm,
+                              dtype=self.dtype,
+                              name=f"input_blocks_{i_block}_0")(
+                    h, emb, deterministic=deterministic)
+                if ds in self.attention_resolutions:
+                    h = AttentionBlockADM(self._heads(ch, False), dtype=self.dtype,
+                                          name=f"input_blocks_{i_block}_1")(h)
+                hs.append(h)
+                i_block += 1
+            if level != len(ch_mult) - 1:
+                if self.resblock_updown:
+                    h = res_block(ch, self.dropout, self.use_scale_shift_norm,
+                                  down=True, dtype=self.dtype,
+                                  name=f"input_blocks_{i_block}_0")(
+                        h, emb, deterministic=deterministic)
+                else:
+                    if self.conv_resample:
+                        h = nn.Conv(ch, (3, 3), strides=(2, 2), padding=1,
+                                    dtype=self.dtype,
+                                    name=f"input_blocks_{i_block}_0_op")(h)
+                    else:
+                        h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+                hs.append(h)
+                i_block += 1
+                ds *= 2
+
+        h = res_block(ch, self.dropout, self.use_scale_shift_norm,
+                      dtype=self.dtype, name="middle_block_0")(
+            h, emb, deterministic=deterministic)
+        h = AttentionBlockADM(self._heads(ch, False), dtype=self.dtype,
+                              name="middle_block_1")(h)
+        h = res_block(ch, self.dropout, self.use_scale_shift_norm,
+                      dtype=self.dtype, name="middle_block_2")(
+            h, emb, deterministic=deterministic)
+
+        i_block = 0
+        for level, mult in reversed(list(enumerate(ch_mult))):
+            for i in range(self.num_res_blocks + 1):
+                ch = int(mult * mc)
+                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                h = res_block(ch, self.dropout, self.use_scale_shift_norm,
+                              dtype=self.dtype,
+                              name=f"output_blocks_{i_block}_0")(
+                    h, emb, deterministic=deterministic)
+                j = 1
+                if ds in self.attention_resolutions:
+                    h = AttentionBlockADM(self._heads(ch, True), dtype=self.dtype,
+                                          name=f"output_blocks_{i_block}_{j}")(h)
+                    j += 1
+                if level and i == self.num_res_blocks:
+                    if self.resblock_updown:
+                        h = res_block(ch, self.dropout, self.use_scale_shift_norm,
+                                      up=True, dtype=self.dtype,
+                                      name=f"output_blocks_{i_block}_{j}")(
+                            h, emb, deterministic=deterministic)
+                    else:
+                        h = _upsample2x(h)
+                        if self.conv_resample:
+                            h = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
+                                        name=f"output_blocks_{i_block}_{j}_conv")(h)
+                    ds //= 2
+                i_block += 1
+        assert not hs
+
+        h = GroupNormADM(dtype=self.dtype, name="out_0")(h)
+        h = jax.nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    kernel_init=zeros_init, name="out_2")(h)
+        return h.astype(jnp.float32)
+
+
+def create_unet_adm(image_size: int, num_channels: int, num_res_blocks: int,
+                    channel_mult: str = "", class_cond: bool = False,
+                    num_classes: int = 1000,
+                    use_checkpoint: bool = False,
+                    attention_resolutions: str = "16",
+                    num_heads: int = 1, num_head_channels: int = -1,
+                    num_heads_upsample: int = -1,
+                    use_scale_shift_norm: bool = False, dropout: float = 0.0,
+                    resblock_updown: bool = False, use_fp16: bool = False,
+                    use_new_attention_order: bool = False,
+                    learn_sigma: bool = False,
+                    dtype=None) -> UNetADM:
+    """Factory mirroring cm/script_util.create_model:102-160, including the
+    "32,16,8" attention-resolution string -> downsample-rate conversion.
+    ``use_fp16`` selects bf16 compute on TPU."""
+    if channel_mult:
+        cm = tuple(int(c) for c in str(channel_mult).split(","))
+    else:
+        cm = ()
+    attn_ds = tuple(image_size // int(r)
+                    for r in str(attention_resolutions).split(","))
+    if dtype is None:
+        dtype = jnp.bfloat16 if use_fp16 else jnp.float32
+    return UNetADM(
+        image_size=image_size,
+        in_channels=3,
+        model_channels=num_channels,
+        out_channels=(6 if learn_sigma else 3),
+        num_res_blocks=num_res_blocks,
+        attention_resolutions=attn_ds,
+        dropout=dropout,
+        channel_mult=cm,
+        num_classes=(num_classes if class_cond else None),
+        num_heads=num_heads,
+        num_head_channels=num_head_channels,
+        num_heads_upsample=num_heads_upsample,
+        use_scale_shift_norm=use_scale_shift_norm,
+        resblock_updown=resblock_updown,
+        use_checkpoint=use_checkpoint,
+        dtype=dtype,
+    )

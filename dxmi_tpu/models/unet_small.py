@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dxmi_tpu.ops import trig
+
 
 def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
     """Sinusoidal timestep embedding, matching the DDPM/tensor2tensor variant
@@ -39,15 +41,8 @@ def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) ->
     exponents = np.arange(half, dtype=np.float32) * np.float32(-c)
     freqs = jnp.asarray(np.exp(exponents.astype(np.float64)).astype(np.float32))
     args = t.astype(jnp.float32)[:, None] * freqs[None, :]
-    # XLA's float32 sin/cos range reduction drifts ~1e-3 at arguments of
-    # ~600 rad (t ~ 1000 on the DDPM grid), so reduce mod 2*pi with a
-    # 3-term Cody-Waite split before the trig (k <= ~160 keeps k*hi exact).
-    two_pi = 2.0 * math.pi
-    tp_hi = np.float32(np.trunc(two_pi * 2**13) / 2**13)
-    tp_mid = np.float32(two_pi - float(tp_hi))
-    tp_lo = np.float32(two_pi - float(tp_hi) - float(tp_mid))
-    k = jnp.floor(args / jnp.float32(two_pi))
-    r = ((args - k * tp_hi) - k * tp_mid) - k * tp_lo
+    # accurate large-argument trig (see dxmi_tpu/ops/trig.py)
+    r = trig.reduce_mod_2pi(args)
     emb = jnp.concatenate([jnp.sin(r), jnp.cos(r)], axis=-1)
     if dim % 2 == 1:
         emb = jnp.pad(emb, ((0, 0), (0, 1)))

@@ -1,0 +1,271 @@
+"""EDM Euler-ancestral policy — the DxMI sampler for ImageNet64 / LSUN.
+
+Capability parity with /root/reference/models/DxMI/openai_diffusion.py
+(``OpenAIDiffusion`` wrapping a cm ``UNetModel`` + ``KarrasDenoiser``):
+Karras rho-spaced sigma grid, ancestral sigma_down/sigma_up split,
+trainable per-step noise ``log_betas`` initialised from
+``log(clamp(sigma_up, 1e-3))``, ``fix_last``/``fix_last3`` masks restoring
+the analytic terminal sigmas, and the 1e-4 sigma floor for log-prob safety.
+
+TPU-native: the denoiser preconditioning (c_skip/c_out/c_in, rescaled_t)
+is inlined into the step function; the T-step loop is one ``lax.scan``;
+bf16 compute replaces the reference's fp16 master-param machinery.
+
+Parameter tree: {"net": <UNetADM params>, "log_betas": (T,)}.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from dxmi_tpu.samplers.var import gaussian_logp_mean
+from dxmi_tpu.schedules import (KarrasSchedule, edm_rescaled_t, edm_scalings,
+                                karras_schedule)
+
+
+class KarrasDenoiser:
+    """EDM preconditioning wrapper (cm/karras_diffusion.py:34-351's live
+    surface: get_scalings + denoise; distillation boundary optional)."""
+
+    def __init__(self, sigma_data: float = 0.5, sigma_max: float = 80.0,
+                 sigma_min: float = 0.002, rho: float = 7.0,
+                 weight_schedule: str = "uniform", distillation: bool = False):
+        self.sigma_data = sigma_data
+        self.sigma_max = sigma_max
+        self.sigma_min = sigma_min
+        self.rho = rho
+        self.weight_schedule = weight_schedule
+        self.distillation = distillation
+
+    def scalings(self, sigma):
+        if not self.distillation:
+            return edm_scalings(sigma, self.sigma_data)
+        # boundary-condition variant (consistency models)
+        c_skip = self.sigma_data**2 / ((sigma - self.sigma_min) ** 2 + self.sigma_data**2)
+        c_out = ((sigma - self.sigma_min) * self.sigma_data
+                 / jnp.sqrt(sigma**2 + self.sigma_data**2))
+        c_in = 1.0 / jnp.sqrt(sigma**2 + self.sigma_data**2)
+        return c_skip, c_out, c_in
+
+    def denoise(self, net, net_params, x, sigma, y=None, *, train=False,
+                dropout_rng=None):
+        """-> (model_output, denoised x0 estimate)."""
+        dims = x.ndim
+        c_skip, c_out, c_in = (s.reshape(-1, *([1] * (dims - 1)))
+                               for s in self.scalings(sigma))
+        rescaled_t = edm_rescaled_t(sigma)
+        rngs = {"dropout": dropout_rng} if (train and dropout_rng is not None) else None
+        out = net.apply({"params": net_params}, c_in * x, rescaled_t, y,
+                        rngs=rngs, deterministic=not train)
+        return out, c_out * out + c_skip * x
+
+
+class EDMSampler:
+    """T-step Euler-ancestral policy over a Karras sigma grid."""
+
+    def __init__(self, net, diffusion: Optional[KarrasDenoiser],
+                 n_timesteps: int, sample_shape: Tuple[int, int, int],
+                 class_cond: bool = False, num_classes: Optional[int] = 0,
+                 trainable_beta: Union[bool, str] = False,
+                 sigma_min: float = 0.002, sigma_max: float = 80.0,
+                 stochastic_last: bool = False, rho: float = 7.0):
+        assert trainable_beta in {True, False, "fix_last", "fix_last3"}
+        self.net = net
+        self.diffusion = diffusion or KarrasDenoiser(
+            sigma_min=sigma_min, sigma_max=sigma_max, rho=rho)
+        self.n_timesteps = int(n_timesteps)
+        c, h, w = sample_shape
+        self.sample_shape = (h, w, c)
+        self.class_cond = bool(class_cond)
+        self.num_classes = int(num_classes or 0)
+        self.trainable_beta = trainable_beta
+        self.sigma_max = float(sigma_max)
+        self.schedule: KarrasSchedule = karras_schedule(
+            self.n_timesteps, sigma_min, sigma_max, rho,
+            stochastic_last=stochastic_last)
+
+    @property
+    def sigmas(self):
+        return self.schedule.sigmas
+
+    # q-process betas for the trainer (trainer.py:516-517 uses sigmas^2)
+    @property
+    def betas_for_q_default(self):
+        return self.schedule.sigmas ** 2
+
+    def init_params(self, key: jax.Array, net_params=None) -> Dict[str, Any]:
+        if net_params is None:
+            x = jnp.zeros((1, *self.sample_shape), jnp.float32)
+            t = jnp.zeros((1,), jnp.float32)
+            y = jnp.zeros((1,), jnp.int32) if self.class_cond else None
+            net_params = self.net.init(key, x, t, y)["params"]
+        # log_betas init: log(clamp(sigma_up, 1e-3)) (openai_diffusion.py:43-48)
+        log_betas = jnp.log(jnp.clip(self.schedule.sigma_up, 1e-3))
+        return {"net": net_params, "log_betas": log_betas}
+
+    def sigmas_up_all(self, params) -> jnp.ndarray:
+        """Effective per-step injected-noise sigma (T,)."""
+        sch = self.schedule
+        if self.trainable_beta is False:
+            return sch.sigma_up
+        sig = jnp.exp(params["log_betas"])
+        if self.trainable_beta == "fix_last":
+            sig = sig.at[-1].set(sch.sigma_up[-1])
+        elif self.trainable_beta == "fix_last3":
+            n = self.n_timesteps
+            keep = jnp.arange(n) < n - 3
+            sig = jnp.where(keep, sig, sch.sigma_up)
+        return sig
+
+    # ------------------------------------------------------------------
+
+    def sample_step(self, params, x, t, key, y=None, *, train=False,
+                    dropout_rng=None) -> Dict[str, jnp.ndarray]:
+        """One Euler-ancestral step (openai_diffusion.py:67-99): denoise,
+        ODE-step to sigma_down, add sigma_up noise. d_step contract:
+        sample/mean (B,H,W,C), sigma (B,) clamped >= 1e-4."""
+        sch = self.schedule
+        B = x.shape[0]
+        t = jnp.broadcast_to(jnp.asarray(t), (B,))
+        sigma = jnp.take(sch.sigmas, t)
+        _, denoised = self.diffusion.denoise(
+            self.net, params["net"], x, sigma, y=y, train=train,
+            dropout_rng=dropout_rng)
+
+        sigma_b = sigma[:, None, None, None]
+        d = (x - denoised) / sigma_b
+        dt = (jnp.take(sch.sigma_down, t) - sigma)[:, None, None, None]
+        mu = x + d * dt
+
+        sigma_up = jnp.take(self.sigmas_up_all(params), t)
+        noise = jax.random.normal(key, x.shape, dtype=x.dtype)
+        sample = mu + noise * sigma_up[:, None, None, None]
+        sigma_out = jnp.clip(sigma_up, 1e-4)  # avoid -inf logs downstream
+
+        logp = gaussian_logp_mean(sample, mu, sigma_out[:, None, None, None])
+        return {
+            "sample": sample,
+            "mean": mu,
+            "sigma": sigma_out,
+            "logp": logp,
+            "logp_terminal": jnp.zeros((B,), x.dtype),
+            "entropy": jnp.log(sigma_out),
+            "control": (d * dt).astype(x.dtype),
+        }
+
+    def sample(self, params, key, n_sample: int, i_class=None, x0=None,
+               *, train=False, dropout_rng=None) -> Dict[str, jnp.ndarray]:
+        """Full trajectory (openai_diffusion.py:101-127): x_T ~ N(0, I) *
+        sigma_max; optional class conditioning (random y when None)."""
+        key, k_init, k_y = jax.random.split(key, 3)
+        y = None
+        if self.class_cond:
+            if i_class is None:
+                y = jax.random.randint(k_y, (n_sample,), 0, self.num_classes)
+            elif jnp.ndim(i_class) == 0:
+                y = jnp.full((n_sample,), i_class, dtype=jnp.int32)
+            else:
+                y = jnp.asarray(i_class, dtype=jnp.int32)
+
+        if x0 is None:
+            x = jax.random.normal(k_init, (n_sample, *self.sample_shape),
+                                  jnp.float32) * self.sigma_max
+        else:
+            x = x0
+
+        step_keys = jax.random.split(key, self.n_timesteps)
+        if dropout_rng is not None:
+            drop_keys = jax.random.split(dropout_rng, self.n_timesteps)
+        else:
+            drop_keys = jnp.zeros((self.n_timesteps, 2), jnp.uint32)
+
+        def step(carry, inputs):
+            xc = carry
+            i, k, dk = inputs
+            t = jnp.full((n_sample,), i, dtype=jnp.int32)
+            d = self.sample_step(params, xc, t, k, y=y, train=train,
+                                 dropout_rng=(dk if dropout_rng is not None else None))
+            out = {"x": d["sample"], "mean": d["mean"], "sigma": d["sigma"],
+                   "logp": d["logp"], "entropy": d["entropy"]}
+            return d["sample"], out
+
+        idx = jnp.arange(self.n_timesteps)
+        x_final, traj = jax.lax.scan(step, x, (idx, step_keys, drop_keys))
+
+        return {
+            "sample": x_final,
+            "l_sample": jnp.concatenate([x[None], traj["x"]], axis=0),
+            "mean": traj["mean"],
+            "sigma": traj["sigma"],
+            "logp": traj["logp"],
+            "entropy": traj["entropy"],
+            "logp_terminal": jnp.zeros((n_sample,), jnp.float32),
+            "y": y,
+        }
+
+
+def karras_sample(diffusion: KarrasDenoiser, net, net_params, key, shape_nhwc,
+                  steps: int, sampler: str = "heun", sigma_min: float = 0.002,
+                  sigma_max: float = 80.0, rho: float = 7.0,
+                  clip_denoised: bool = True, s_churn: float = 0.0,
+                  model_kwargs=None):
+    """Standalone EDM samplers (heun / euler / ancestral / onestep), the
+    live subset of cm/karras_diffusion.py:354-719, as lax.scan loops."""
+    import numpy as np
+
+    from dxmi_tpu.schedules import ancestral_split, karras_sigmas
+
+    model_kwargs = model_kwargs or {}
+    y = model_kwargs.get("y")
+    sigmas = jnp.asarray(karras_sigmas(steps, sigma_min, sigma_max, rho))
+
+    key, k0 = jax.random.split(key)
+    x = jax.random.normal(k0, shape_nhwc) * sigma_max
+
+    def denoise(xc, sigma):
+        _, den = diffusion.denoise(net, net_params, xc,
+                                   jnp.full((xc.shape[0],), sigma), y=y)
+        return jnp.clip(den, -1, 1) if clip_denoised else den
+
+    if sampler == "onestep":
+        return denoise(x, sigmas[0])
+
+    if sampler in ("heun", "euler"):
+        def step(xc, i):
+            s_i, s_n = sigmas[i], sigmas[i + 1]
+            den = denoise(xc, s_i)
+            d = (xc - den) / s_i
+            x_e = xc + d * (s_n - s_i)
+            if sampler == "euler":
+                return x_e, None
+
+            def heun_correct(x_e):
+                den2 = denoise(x_e, s_n)
+                d2 = (x_e - den2) / s_n
+                return xc + 0.5 * (d + d2) * (s_n - s_i)
+
+            x_next = jax.lax.cond(s_n == 0.0, lambda v: v, heun_correct, x_e)
+            return x_next, None
+
+        x, _ = jax.lax.scan(step, x, jnp.arange(steps - 1 + 1))
+        return jnp.clip(x, -1, 1)
+
+    if sampler == "ancestral":
+        down, up = (jnp.asarray(a) for a in ancestral_split(np.asarray(sigmas)))
+        keys = jax.random.split(key, steps)
+
+        def step(xc, inputs):
+            i, k = inputs
+            den = denoise(xc, sigmas[i])
+            d = (xc - den) / sigmas[i]
+            x_next = xc + d * (down[i] - sigmas[i])
+            x_next = x_next + jax.random.normal(k, xc.shape) * up[i]
+            return x_next, None
+
+        x, _ = jax.lax.scan(step, x, (jnp.arange(steps), keys))
+        return jnp.clip(x, -1, 1)
+
+    raise ValueError(f"unknown sampler: {sampler}")

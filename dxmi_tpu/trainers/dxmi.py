@@ -68,7 +68,13 @@ class DxMITrainer:
                  repeat_value_update: int = 1,
                  value_resample: bool = False,
                  value_grad_clip: bool = False,
-                 skip_sampler_tau: int = 0):
+                 skip_sampler_tau: int = 0,
+                 beta_ordering: str = "reversed",
+                 entropy_value_scale: float = 1.0,
+                 sigma_scale: Optional[float] = None,
+                 time_cost_sig_center: Optional[int] = None,
+                 skip_running_last: bool = False,
+                 aug=None):
         self.batchsize = int(batchsize)
         self.n_timesteps = int(n_timesteps)
         self.tau1 = float(tau1)
@@ -90,6 +96,20 @@ class DxMITrainer:
         self.value_resample = bool(value_resample)
         self.value_grad_clip = bool(value_grad_clip)
         self.skip_sampler_tau = int(skip_sampler_tau)
+        assert beta_ordering in {"reversed", "forward"}
+        self.beta_ordering = beta_ordering
+        self.entropy_value_scale = float(entropy_value_scale)
+        self.sigma_scale = sigma_scale
+        self.time_cost_sig_center = time_cost_sig_center
+        # accepted for config parity; dead in the reference too
+        # (trainer.py:478 stores it, nothing reads it)
+        self.skip_running_last = skip_running_last
+        self.aug = aug  # optional non-leaking augmentation hook
+        # policy-gradient clip: DxMI_Trainer clips to 0.1 (trainer.py:388);
+        # the Cond/mixed-precision path does not clip
+        self.sampler_grad_clip: Optional[float] = 0.1
+        self.nan_guard: bool = False
+        self.sampler_optimizer: str = "adam"
 
         self.sampler = None
         self.value = None
@@ -111,16 +131,23 @@ class DxMITrainer:
 
         if beta_lr is None:
             beta_lr = lr
-        self.opt_sampler = optax.chain(
-            optax.clip_by_global_norm(0.1),  # reference trainer.py:388
-            optax.multi_transform(
-                {"net": optax.adam(lr), "log_betas": optax.adam(beta_lr)},
-                param_labels=lambda params: {
-                    "net": jax.tree.map(lambda _: "net", params["net"]),
-                    "log_betas": "log_betas",
-                },
-            ),
-        )
+        chain = []
+        if self.sampler_grad_clip is not None:
+            # reference trainer.py:388 clips the policy grads to 0.1
+            chain.append(optax.clip_by_global_norm(self.sampler_grad_clip))
+        chain.append(optax.multi_transform(
+            {"net": self._make_sampler_opt(lr),
+             "log_betas": self._make_sampler_opt(beta_lr)},
+            param_labels=lambda params: {
+                "net": jax.tree.map(lambda _: "net", params["net"]),
+                "log_betas": "log_betas",
+            },
+        ))
+        self.opt_sampler = optax.chain(*chain)
+        if self.nan_guard:
+            # bf16-safe replacement for the reference's dynamic-loss-scale
+            # NaN skip (cm/fp16_util.py:204-223): drop non-finite updates
+            self.opt_sampler = optax.apply_if_finite(self.opt_sampler, 100)
         self.opt_v = optax.adam(v_lr)
 
         # NOTE: no donate_argnums — the functional API allows callers to
@@ -129,6 +156,14 @@ class DxMITrainer:
         self._jit_update_f_v = jax.jit(self._update_f_v_impl)
         self._jit_update_sampler = jax.jit(
             self._update_sampler_impl, static_argnames=("n_generator",))
+
+    def _make_sampler_opt(self, lr: float):
+        if self.sampler_optimizer == "adam":
+            return optax.adam(lr)
+        if self.sampler_optimizer == "radam":
+            # the large-image entry uses RAdam (train_image_large.py:162-168)
+            return optax.radam(lr)
+        raise ValueError(self.sampler_optimizer)
 
     def init_betas_for_q(self) -> jnp.ndarray:
         if self.use_sampler_beta:
@@ -157,17 +192,26 @@ class DxMITrainer:
 
     def _running_cost(self, betas_for_q, state, next_state, t):
         """(Δx)^2 / (2 beta_q), mean over pixels (trainer.py:163-169).
-        ``t`` is reversed: data side is t=0 of the q process."""
-        t_rev = self.n_timesteps - t - 1
-        beta = jnp.take(betas_for_q, t_rev)
+        ``beta_ordering='reversed'`` indexes the q-process from the data
+        side (t=0 is data); 'forward' uses t directly (trainer.py:527-534)."""
+        if self.beta_ordering == "reversed":
+            t = self.n_timesteps - t - 1
+        beta = jnp.take(betas_for_q, t)
         return mean_flat((next_state - state) ** 2) / (2.0 * beta)
+
+    def _entropy_of(self, sigma):
+        """log sigma, optionally rescaled (trainer.py:625-628)."""
+        if self.sigma_scale is not None:
+            return jnp.log(sigma / self.sigma_scale)
+        return jnp.log(sigma)
 
     def _time_cost_terms(self, t):
         """Extra per-step costs added to the TD target
-        (trainer.py:302-308)."""
+        (trainer.py:302-308, 638-647)."""
         add = 0.0
         if self.time_cost_sig is not None:
-            center = self.n_timesteps // 2
+            center = (self.n_timesteps // 2 if self.time_cost_sig_center is None
+                      else self.time_cost_sig_center)
             tf = t.astype(jnp.float32)
             add = add + self.time_cost_sig * (
                 jax.nn.sigmoid(-tf + center) - jax.nn.sigmoid(-tf - 1 + center))
@@ -180,11 +224,13 @@ class DxMITrainer:
     # ------------------------------------------------------------------
 
     def update_f_v(self, state: DxMIState, img: jnp.ndarray,
-                   buffer: TrajectoryBuffer, key: jax.Array
+                   buffer: TrajectoryBuffer, key: jax.Array,
+                   y: Optional[jnp.ndarray] = None
                    ) -> Tuple[DxMIState, Dict[str, jnp.ndarray]]:
-        return self._jit_update_f_v(state, img, buffer, key)
+        return self._jit_update_f_v(state, img, buffer, key, y)
 
-    def _update_f_v_impl(self, state: DxMIState, img, buffer: TrajectoryBuffer, key):
+    def _update_f_v_impl(self, state: DxMIState, img, buffer: TrajectoryBuffer,
+                         key, y=None):
         T = self.n_timesteps
         last = buffer.last()  # TD consumes the newest trajectory only
         # drop the K=1 axis -> (T, B, ...)
@@ -193,10 +239,12 @@ class DxMITrainer:
         # ---- adaptive velocity regularization (trainer.py:218-228) ----
         betas_for_q = state.betas_for_q
         if self.adavelreg is not None:
-            # per-step mean of (Δx)^2 over (B, H, W, C), reversed so index 0
-            # is the data side (trainer.py:222-228)
+            # per-step mean of (Δx)^2 over (B, H, W, C); flipped so index 0
+            # is the data side under reversed ordering (trainer.py:222-228,
+            # 536-551)
             diff = ((traj.next_state - traj.state) ** 2).reshape(T, -1).mean(axis=1)
-            diff = jnp.flip(diff, axis=0)
+            if self.beta_ordering == "reversed":
+                diff = jnp.flip(diff, axis=0)
             betas_for_q = betas_for_q * self.adavelreg + (1 - self.adavelreg) * diff
             betas_for_q = jax.lax.stop_gradient(betas_for_q)
 
@@ -204,9 +252,13 @@ class DxMITrainer:
         x0 = traj.next_state[-1]
         inputs = jnp.concatenate([img, x0], axis=0)
         t_term = jnp.full((inputs.shape[0],), T, dtype=jnp.int32)
+        ys = jnp.concatenate([y, y], axis=0) if y is not None else None
+        if self.aug is not None:
+            key, akey = jax.random.split(key)
+            inputs = self.aug(inputs, akey)
 
         def energy_loss(v_params):
-            out = self._v_apply(v_params, inputs, t_term)
+            out = self._v_apply(v_params, inputs, t_term, ys)
             pos = out[: img.shape[0]]
             neg = out[img.shape[0]:]
             loss = pos.mean() - neg.mean()
@@ -253,20 +305,23 @@ class DxMITrainer:
                 next_state = x["next_state"]
                 sigma = x["sigma"]
             cost = self._running_cost(betas_for_q, x["state"], next_state, tvec)
-            entropy = jnp.log(sigma)
+            entropy = self._entropy_of(sigma)
 
-            v_next = self._v_apply(v_params, next_state, tvec + 1)
+            # NOTE: conditioning on the DATA batch's labels, replicating
+            # the reference (trainer.py:635,661 passes the img batch's y
+            # for sampled states; harmless for class-free value nets)
+            v_next = self._v_apply(v_params, next_state, tvec + 1, y)
             target = v_next + self._time_cost_terms(tvec)
             if self.velocity_in_value is not None:
                 nt = (tvec < T - self.velocity_in_value).astype(jnp.float32)
                 target = target + cost * self.tau2 * nt
             if self.entropy_in_value is not None:
                 nt = (tvec < T - int(self.entropy_in_value)).astype(jnp.float32)
-                target = target - entropy * self.tau1 * nt
+                target = target - entropy * self.tau1 * nt * self.entropy_value_scale
             target = jax.lax.stop_gradient(target)
 
             def v_loss_fn(p):
-                v = self._v_apply(p, x["state"], tvec)
+                v = self._v_apply(p, x["state"], tvec, y)
                 return ((v - target) ** 2).mean(), v.mean()
 
             (v_loss, v_mean), g = jax.value_and_grad(v_loss_fn, has_aux=True)(v_params)
@@ -313,40 +368,44 @@ class DxMITrainer:
     # ------------------------------------------------------------------
 
     def update_sampler(self, state: DxMIState, buffer: TrajectoryBuffer,
-                       key: jax.Array, n_generator: int = 1
+                       key: jax.Array, n_generator: Optional[int] = 1
                        ) -> Tuple[DxMIState, Dict[str, jnp.ndarray]]:
+        """``n_generator=None`` sweeps every buffered minibatch (the
+        Cond/mixed-precision path, trainer.py:700); an int caps the number
+        of minibatches (trainer.py:355)."""
         flat = buffer.flat()
-        return self._jit_update_sampler(state, flat, key,
-                                        n_generator=int(n_generator))
+        N = int(flat["state"].shape[0])
+        G = N // self.batchsize if n_generator is None else int(n_generator)
+        return self._jit_update_sampler(state, flat, key, n_generator=G)
 
     def _update_sampler_impl(self, state: DxMIState, flat, key, *, n_generator: int):
         T = self.n_timesteps
         B = self.batchsize
         N = flat["state"].shape[0]
         G = min(n_generator, max(N // B, 1))
+        has_y = "y" in flat
 
         key, pkey = jax.random.split(key)
         perm = jax.random.permutation(pkey, N)
-
-        def gather(idx):
-            return (
-                jnp.take(flat["state"], idx, axis=0),
-                jnp.take(flat["timestep"], idx, axis=0),
-            )
 
         def g_step(carry, inputs):
             sampler_params, opt_state = carry
             i, k = inputs
             idx = jax.lax.dynamic_slice_in_dim(perm, i * B, B)
-            s, t = gather(idx)
+            s = jnp.take(flat["state"], idx, axis=0)
+            t = jnp.take(flat["timestep"], idx, axis=0)
+            yb = jnp.take(flat["y"], idx, axis=0) if has_y else None
             k_step, k_drop = jax.random.split(k)
 
             def loss_fn(p):
-                d = self.sampler.sample_step(p, s, t, k_step, train=True,
+                d = self.sampler.sample_step(p, s, t, k_step, y=yb, train=True,
                                              dropout_rng=k_drop)
                 cost = self._running_cost(state.betas_for_q, s, d["sample"], t)
                 causal_entropy = jnp.log(d["sigma"])
-                v_term = self._v_apply(state.v_params, d["sample"], t + 1)
+                next_state = d["sample"]
+                if self.aug is not None:
+                    next_state = self.aug(next_state, k_drop)
+                v_term = self._v_apply(state.v_params, next_state, t + 1, yb)
                 nt = (t < T - self.skip_sampler_tau).astype(jnp.float32)
                 loss = (v_term + (cost * self.tau2
                                   - causal_entropy * self.tau1) * nt).mean()

@@ -1,0 +1,52 @@
+"""Conditional DxMI trainer — ImageNet64 / LSUN variant.
+
+Algorithm parity with ``DxMI_Trainer_Cond``
+(/root/reference/models/DxMI/trainer.py:412-860). Differences from the
+base trainer, all expressed as configuration of the shared jitted
+programs:
+
+  * time-independent value, optional class conditioning plumbed into both
+    the value and the (class-conditional EDM) policy,
+  * ``beta_ordering`` defaults to 'forward' (trainer.py:492-493),
+  * entropy may be rescaled (``sigma_scale``) and weighted
+    (``entropy_value_scale``) inside the TD target,
+  * the policy update sweeps EVERY buffered minibatch and does not clip
+    gradients (the reference's mixed-precision path,
+    trainer.py:693-746) — bf16 + a non-finite-update guard replaces the
+    fp16 loss-scaling machinery,
+  * RAdam for the sampler (train_image_large.py:162-168).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+
+from dxmi_tpu.trainers.dxmi import DxMIState, DxMITrainer
+from dxmi_tpu.trainers.buffer import TrajectoryBuffer
+
+
+class DxMITrainerCond(DxMITrainer):
+    def __init__(self, *args, beta_ordering: str = "forward", **kwargs):
+        super().__init__(*args, beta_ordering=beta_ordering, **kwargs)
+        self.sampler_grad_clip = None
+        self.nan_guard = True
+        self.sampler_optimizer = "radam"
+
+    def init_betas_for_q(self):
+        import jax.numpy as jnp
+
+        if self.use_sampler_beta:
+            if hasattr(self.sampler, "user_defined_eta"):
+                return jnp.asarray(self.sampler.user_defined_eta, jnp.float32)
+            if hasattr(self.sampler, "betas_for_q_default"):
+                # EDM policy: betas_for_q = sigmas^2 (trainer.py:516-517)
+                return jnp.asarray(self.sampler.betas_for_q_default)
+            raise ValueError("use_sampler_beta requires a sampler schedule")
+        return super().init_betas_for_q()
+
+    def update_sampler(self, state: DxMIState, buffer: TrajectoryBuffer,
+                       key: jax.Array, n_generator: Optional[int] = None
+                       ) -> Tuple[DxMIState, dict]:
+        # default: full-buffer sweep (trainer.py:700)
+        return super().update_sampler(state, buffer, key, n_generator)

@@ -1,0 +1,76 @@
+"""Checkpointing with the reference's run-directory contract.
+
+The run directory is the serialized experiment (reference
+generate_cifar10.py:46-53): ``config.yaml`` plus ``sampler_{best,last}``,
+``value_{best,last}`` checkpoints, best-FID gated (train_cifar10.py:120-135).
+
+Files are single msgpack blobs (flax.serialization) holding
+``{"params": <pytree>, "meta": {...}}`` — the Flax analogue of the
+reference's ``{"state_dict": ..., "fid": ..., "epoch": ...}`` torch saves.
+PyTorch ``.pth``/``.pt`` checkpoints from the reference ecosystem are
+ingested through ``load_torch_checkpoint`` + ``dxmi_tpu.utils.convert``.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_checkpoint(path: str, params: Any, meta: Optional[Dict[str, Any]] = None) -> None:
+    payload = {
+        "params": jax.tree.map(np.asarray, params),
+        "meta": dict(meta or {}),
+    }
+    blob = serialization.msgpack_serialize(payload)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def save_run_checkpoint(logdir: str, postfix: str, *, sampler_params=None,
+                        v_params=None, f_params=None,
+                        meta: Optional[Dict[str, Any]] = None) -> None:
+    """Write the reference's file family: sampler_{postfix}, value_{postfix},
+    energy_{postfix} (train_cifar10.py:58-79)."""
+    os.makedirs(logdir, exist_ok=True)
+    if sampler_params is not None:
+        save_checkpoint(os.path.join(logdir, f"sampler_{postfix}.msgpack"),
+                        sampler_params, meta)
+    if v_params is not None:
+        save_checkpoint(os.path.join(logdir, f"value_{postfix}.msgpack"), v_params)
+    if f_params is not None:
+        save_checkpoint(os.path.join(logdir, f"energy_{postfix}.msgpack"), f_params)
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a PyTorch checkpoint into a flat numpy state dict (requires the
+    baked-in CPU torch; used only for converting published weights)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and any(
+            hasattr(v, "detach") for v in ckpt.values()):
+        state = ckpt
+    else:
+        from dxmi_tpu.utils.convert import fix_legacy_dict
+
+        state = fix_legacy_dict(ckpt)
+    out = {}
+    meta = {}
+    for k, v in state.items():
+        if hasattr(v, "detach"):
+            out[k] = v.detach().cpu().numpy()
+        else:
+            meta[k] = v
+    out["__meta__"] = meta  # fid/epoch etc. travel along
+    return out

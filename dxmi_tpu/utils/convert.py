@@ -178,3 +178,85 @@ def convert_igebm(state: Dict[str, np.ndarray], keepdim: bool = False) -> Dict[s
 def wrap_value_params(igebm_params: Dict[str, Any]) -> Dict[str, Any]:
     """Nest encoder params under the TimeIndependentValue module."""
     return {"params": {"net": igebm_params["params"]}}
+
+
+# ---------------------------------------------------------------------------
+# UNetADM (reference models/cm/unet.py checkpoint layout, e.g. the published
+# edm_imagenet64_ema.pt / edm_bedroom256_ema.pt weights)
+# ---------------------------------------------------------------------------
+
+_ADM_GN_NAMES = {"in_layers_0", "out_layers_0", "norm", "out_0"}
+_ADM_DENSE_NAMES = {"time_embed_0", "time_embed_2", "emb_layers_1"}
+_ADM_CONTAINERS = {"input_blocks", "output_blocks", "middle_block",
+                   "time_embed", "in_layers", "out_layers", "emb_layers",
+                   "out"}
+
+
+def _adm_flax_path(key: str):
+    """Map a torch UNetModel state-dict key to the flax module path.
+
+    Examples:
+      input_blocks.1.0.in_layers.0.weight -> (input_blocks_1_0, in_layers_0)
+      middle_block.1.qkv.weight           -> (middle_block_1, qkv)
+      output_blocks.2.2.conv.weight       -> (output_blocks_2_2_conv,)
+      out.0.weight                        -> (out_0,)
+    """
+    tokens = key.split(".")
+    leaf = tokens.pop()  # weight / bias
+    groups = []
+    cur = None
+    for tok in tokens:
+        if tok.isdigit():
+            assert cur is not None, key
+            cur = f"{cur}_{tok}"
+        else:
+            if cur is not None:
+                groups.append(cur)
+            cur = tok
+    if cur is not None:
+        groups.append(cur)
+    # 'op' (downsample conv) and 'conv' (upsample conv) fold into the
+    # containing block's flax name; so does a trailing sub-index group
+    if len(groups) >= 2 and groups[-1] in ("op", "conv"):
+        groups = groups[:-2] + [f"{groups[-2]}_{groups[-1]}"]
+    return groups, leaf
+
+
+def convert_unet_adm(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Convert a reference cm ``UNetModel`` state dict to UNetADM params.
+
+    Handles ``log_betas`` (injected by OpenAIDiffusion,
+    openai_diffusion.py:43-48) by returning it separately.
+    """
+    state = fix_legacy_dict(state)
+    params: Dict[str, Any] = {}
+    log_betas: Optional[np.ndarray] = None
+
+    for key, val in state.items():
+        val = np.asarray(val, dtype=np.float32)
+        if key == "log_betas":
+            log_betas = val
+            continue
+        groups, leaf = _adm_flax_path(key)
+        local = groups[-1]
+
+        if local == "label_emb":
+            _set(params, groups + ["embedding"], val)
+        elif local in _ADM_GN_NAMES:
+            _set(params, groups + ["gn", "scale" if leaf == "weight" else "bias"], val)
+        elif leaf == "weight":
+            if val.ndim == 4:
+                _set(params, groups + ["kernel"], _conv_kernel(val))
+            elif val.ndim == 2:
+                _set(params, groups + ["kernel"], _dense_kernel(val))
+            else:
+                raise ValueError(f"unhandled weight shape {val.shape} for {key}")
+        elif leaf == "bias":
+            _set(params, groups + ["bias"], val)
+        else:
+            raise ValueError(f"unhandled key: {key}")
+
+    out = {"params": params}
+    if log_betas is not None:
+        out["log_betas"] = log_betas
+    return out

@@ -1,0 +1,143 @@
+"""UNetADM tests: shapes, class conditioning, and torch parity via weight
+conversion against the reference cm UNetModel."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dxmi_tpu.models.unet_adm import UNetADM, adm_timestep_embedding, create_unet_adm
+from dxmi_tpu.utils import convert
+from tests.conftest import requires_reference
+
+TINY = dict(image_size=16, in_channels=3, model_channels=32, out_channels=3,
+            num_res_blocks=1, attention_resolutions=(2,), dropout=0.0,
+            channel_mult=(1, 2), num_heads=2, use_scale_shift_norm=True,
+            resblock_updown=True)
+
+
+def test_shapes_class_cond():
+    model = UNetADM(**TINY, num_classes=10)
+    x = jnp.zeros((2, 16, 16, 3))
+    t = jnp.array([0.1, 500.0])
+    y = jnp.array([3, 7])
+    params = model.init(jax.random.key(0), x, t, y)
+    out = model.apply(params, x, t, y)
+    assert out.shape == (2, 16, 16, 3)
+    # zero-init output conv -> exact zeros at init
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_create_factory_attention_ds():
+    m = create_unet_adm(image_size=64, num_channels=32, num_res_blocks=1,
+                        attention_resolutions="32,16,8", class_cond=False,
+                        use_fp16=False)
+    assert m.attention_resolutions == (2, 4, 8)
+    assert m.channel_mult == ()
+    assert m._channel_mult() == (1, 2, 3, 4)
+
+
+@pytest.mark.slow
+@requires_reference
+class TestADMTorchParity:
+    @pytest.fixture(scope="class")
+    def ref_unet(self, reference_path):
+        import sys
+        sys.path.insert(0, str(reference_path))
+        try:
+            from models.cm import unet as cm_unet
+            from models.cm import nn as cm_nn
+        finally:
+            sys.path.pop(0)
+
+        # The reference's legacy attention force-casts QKV to fp16
+        # (cm/unet.py:423). In a pure-fp32 forward this CRASHES (half
+        # activations hit fp32 proj_out conv) — it only works when the
+        # whole torso is converted to fp16. Patch the cast out so the
+        # fp32 reference forward is runnable for comparison; our TPU
+        # model deliberately computes attention in full precision.
+        orig_forward = cm_unet.QKVAttentionLegacy.forward
+
+        def fp32_forward(self, qkv):
+            import torch as th
+
+            half = th.Tensor.half
+            th.Tensor.half = lambda s: s
+            try:
+                return orig_forward(self, qkv)
+            finally:
+                th.Tensor.half = half
+
+        cm_unet.QKVAttentionLegacy.forward = fp32_forward
+        return cm_unet, cm_nn
+
+    def test_timestep_embedding_parity(self, ref_unet):
+        import torch
+        _, cm_nn = ref_unet
+        t = np.array([0.0, 2.5, 1000.0, -17.3], dtype=np.float32)
+        ref = cm_nn.timestep_embedding(torch.from_numpy(t), 192).numpy()
+        ours = np.asarray(adm_timestep_embedding(jnp.asarray(t), 192))
+        # torch's own f32 sin is ~3e-5 off true at arg ~1000 rad; our
+        # Cody-Waite path is ~4e-7 — tolerance covers torch's error
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=5e-5)
+
+    @pytest.mark.parametrize("scale_shift,updown,classes", [
+        (True, True, 10),      # ImageNet64-style
+        (False, True, None),   # LSUN T4-style
+    ])
+    def test_forward_parity(self, ref_unet, scale_shift, updown, classes):
+        import torch
+        cm_unet, _ = ref_unet
+        torch.manual_seed(0)
+        tm = cm_unet.UNetModel(
+            image_size=16, in_channels=3, model_channels=32, out_channels=3,
+            num_res_blocks=1, attention_resolutions=(2,), dropout=0.0,
+            channel_mult=(1, 2), num_classes=classes, num_heads=2,
+            num_head_channels=-1, num_heads_upsample=-1,
+            use_scale_shift_norm=scale_shift, resblock_updown=updown,
+            use_fp16=False)
+        tm.eval()
+
+        x = np.random.RandomState(1).randn(2, 3, 16, 16).astype(np.float32)
+        t = np.array([0.5, 700.0], dtype=np.float32)
+        y = np.array([1, 9]) if classes else None
+        with torch.no_grad():
+            args = [torch.from_numpy(x), torch.from_numpy(t)]
+            if classes:
+                args.append(torch.from_numpy(y))
+            ref_out = tm(*args).numpy()
+
+        conv = convert.convert_unet_adm(convert.torch_state_to_numpy(tm.state_dict()))
+        model = UNetADM(**{**TINY, "use_scale_shift_norm": scale_shift,
+                           "resblock_updown": updown},
+                        num_classes=classes)
+        ours = model.apply({"params": conv["params"]},
+                           jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t),
+                           jnp.asarray(y) if classes else None)
+        ours = np.asarray(ours).transpose(0, 3, 1, 2)
+        # the reference's legacy attention force-casts QKV to fp16
+        # (cm/unet.py:423) while we stay in fp32 — tolerance reflects that
+        # deliberate normalisation
+        np.testing.assert_allclose(ours, ref_out, rtol=2e-3, atol=2e-3)
+
+    def test_forward_parity_plain_downsample(self, ref_unet):
+        """conv_resample Downsample/Upsample path (resblock_updown=False)."""
+        import torch
+        cm_unet, _ = ref_unet
+        torch.manual_seed(1)
+        tm = cm_unet.UNetModel(
+            image_size=16, in_channels=3, model_channels=32, out_channels=3,
+            num_res_blocks=1, attention_resolutions=(2,), dropout=0.0,
+            channel_mult=(1, 2), num_classes=None, num_heads=1,
+            use_scale_shift_norm=False, resblock_updown=False, use_fp16=False)
+        tm.eval()
+        x = np.random.RandomState(3).randn(2, 3, 16, 16).astype(np.float32)
+        t = np.array([3.0, 40.0], dtype=np.float32)
+        with torch.no_grad():
+            ref_out = tm(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+        conv = convert.convert_unet_adm(convert.torch_state_to_numpy(tm.state_dict()))
+        model = UNetADM(**{**TINY, "use_scale_shift_norm": False,
+                           "resblock_updown": False, "num_heads": 1})
+        ours = model.apply({"params": conv["params"]},
+                           jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t))
+        ours = np.asarray(ours).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(ours, ref_out, rtol=2e-3, atol=2e-3)

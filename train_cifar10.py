@@ -1,0 +1,240 @@
+"""DxMI training for CIFAR-10 on TPU.
+
+Usage (mirrors the reference CLI, /root/reference/train_cifar10.py:1-10,
+minus torchrun — SPMD over all visible devices is automatic):
+
+    python train_cifar10.py --config configs/cifar10/T10.yaml \
+        --dataset configs/cifar10/cifar10.yaml --run myrun \
+        [--training.lr 1e-6 ...dot-key overrides]
+
+Program shape per training step (one jitted program per phase):
+    sample trajectory (lax.scan) -> buffer -> update_f_v -> update_sampler
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+
+# The container's sitecustomize pins jax_platforms to the axon TPU; allow
+# overriding (e.g. DXMI_PLATFORM=cpu for smoke runs) before backend init.
+if os.environ.get("DXMI_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["DXMI_PLATFORM"])
+
+import jax.numpy as jnp
+import numpy as np
+
+from dxmi_tpu import config as cfglib
+from dxmi_tpu.config import instantiate
+from dxmi_tpu.data.cifar10 import EpochLoader, fake_cifar, get_dataset
+from dxmi_tpu.parallel import create_mesh, replicate, shard_batch
+from dxmi_tpu.trainers import buffer as buflib
+from dxmi_tpu.utils import checkpoint as ckptlib
+from dxmi_tpu.utils.logging import BaseLogger, expand_metrics, make_grid, weight_norm_of
+
+
+def print0(*args, **kwargs):
+    if jax.process_index() == 0:
+        print(*args, **kwargs, flush=True)
+
+
+def rescale01(x):
+    return (x + 1.0) / 2.0
+
+
+def build(cfg):
+    net = instantiate(cfg["sampler_net"])
+    sampler = instantiate(cfg["sampler"], net=net)
+    value = instantiate(cfg["value"])
+    trainer = instantiate(cfg["trainer"],
+                          batchsize=cfg["training"]["batchsize"],
+                          n_timesteps=cfg["sampler"]["n_timesteps"])
+    trainer.set_models(sampler, value,
+                       lr=float(cfg["training"]["lr"]),
+                       v_lr=float(cfg["training"]["v_lr"]),
+                       beta_lr=float(cfg["training"].get("beta_lr") or
+                                     cfg["training"]["lr"]))
+    return sampler, value, trainer
+
+
+def init_state(cfg, sampler, value, trainer, key):
+    k1, k2 = jax.random.split(key)
+    sp = sampler.init_params(k1)
+
+    ckpt_path = cfg["training"].get("sampler_ckpt")
+    if ckpt_path and os.path.exists(ckpt_path):
+        from dxmi_tpu.utils import convert
+
+        state_np = ckptlib.load_torch_checkpoint(ckpt_path)
+        state_np.pop("__meta__", None)
+        converted = convert.convert_unet_small(state_np)
+        sp["net"] = jax.tree.map(jnp.asarray, converted["params"])
+        if "log_betas" in converted:
+            sp["log_betas"] = jnp.asarray(converted["log_betas"])
+        print0(f"Sampler checkpoint loaded from {ckpt_path}")
+    elif ckpt_path:
+        print0(f"WARNING: sampler ckpt {ckpt_path} not found; training from "
+               "scratch (DxMI fine-tunes a pretrained sampler)")
+
+    h, w, c = sampler.sample_shape
+    x = jnp.zeros((1, h, w, c))
+    vp = value.init(k2, x, jnp.zeros((1,), jnp.int32))["params"]
+
+    v_ckpt = cfg["training"].get("value_ckpt")
+    if v_ckpt and os.path.exists(v_ckpt):
+        from dxmi_tpu.utils import convert
+
+        state_np = ckptlib.load_torch_checkpoint(v_ckpt)
+        state_np.pop("__meta__", None)
+        vp = jax.tree.map(jnp.asarray,
+                          convert.wrap_value_params(
+                              convert.convert_igebm(state_np))["params"])
+        print0(f"value checkpoint loaded from {v_ckpt}")
+
+    return trainer.init_state(sp, vp)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--dataset", type=str, required=True)
+    parser.add_argument("--run", type=str, default="run")
+    parser.add_argument("--max_steps", type=int, default=None,
+                        help="cap total train steps (smoke runs)")
+    parser.add_argument("--fake_data", action="store_true",
+                        help="use a synthetic dataset stand-in")
+    args, unknown = parser.parse_known_args()
+
+    d_cmd = cfglib.parse_nested_args(cfglib.parse_unknown_args(unknown))
+    cfg = cfglib.merge(cfglib.load_yaml(args.config),
+                       cfglib.load_yaml(args.dataset), d_cmd)
+    print0(cfglib.to_yaml(cfg))
+
+    tr_cfg = cfg["training"]
+    seed = int(tr_cfg["seed"])
+    key = jax.random.key(seed)
+    key = jax.random.fold_in(key, jax.process_index())
+
+    mesh = create_mesh()
+    n_dev = mesh.devices.size
+    print0(f"SPMD over {n_dev} device(s): {mesh}")
+    batchsize = int(tr_cfg["batchsize"])
+    assert batchsize % n_dev == 0, "global batch must divide the mesh"
+
+    sampler, value, trainer = build(cfg)
+    key, init_key = jax.random.split(key)
+    state = init_state(cfg, sampler, value, trainer, init_key)
+    state = replicate(mesh, state)
+
+    # data
+    if args.fake_data:
+        train_set = fake_cifar(max(batchsize * 4, 256), seed)
+        print0("using fake data stand-in")
+    else:
+        train_set = get_dataset(cfg["data"]["name"], cfg["data"]["data_dir"])
+    loader = EpochLoader(train_set, batch_size=batchsize // jax.process_count(),
+                         seed=seed, process_index=jax.process_index(),
+                         process_count=jax.process_count())
+
+    # run dir
+    model_cfg_name = os.path.basename(args.config).split(".")[0]
+    logdir = os.path.join(f"results/{cfg['data']['name']}/{model_cfg_name}",
+                          args.run)
+    logger = BaseLogger(None)
+    if jax.process_index() == 0:
+        os.makedirs(logdir, exist_ok=True)
+        cfglib.save_yaml(cfg, os.path.join(logdir, "config.yaml"))
+        try:
+            from tensorboardX import SummaryWriter
+
+            logger = BaseLogger(SummaryWriter(logdir=logdir))
+        except ImportError:
+            pass
+        print0(f"run dir: {logdir}")
+
+    sample_fn = jax.jit(lambda p, k: sampler.sample(p, k, batchsize))
+    grid_fn = jax.jit(lambda p, k: sampler.sample(p, k, 64)["sample"])
+
+    n_critic = int(tr_cfg["n_critic"])
+    n_generator = int(tr_cfg["n_generator"])
+    log_every = int(tr_cfg["log_every"])
+    fid_epoch = tr_cfg.get("fid_epoch")
+    best_fid = float("inf")
+    fid_state = None
+
+    i_iter = 0
+    t_start = time.time()
+    pending = []
+    for epoch in range(int(tr_cfg["n_epochs"])):
+        # per-epoch sample grid
+        if jax.process_index() == 0:
+            key, gk = jax.random.split(key)
+            Xi = np.asarray(grid_fn(state.sampler_params, gk))
+            img = make_grid(np.clip(rescale01(Xi), 0, 1))
+            norm = float(np.linalg.norm(Xi.reshape(Xi.shape[0], -1),
+                                        axis=1).mean())
+            tag = "sample_init@" if epoch == 0 else "sample@"
+            logger.log({tag: img, "sample_norm_": norm},
+                       0 if epoch == 0 else i_iter)
+            print0(f"epoch {epoch}")
+
+        # periodic FID (only when the real dataset/stats are on disk)
+        if fid_epoch is not None and epoch % int(fid_epoch) == 0:
+            from dxmi_tpu.fid import runner as fid_runner
+
+            fid, fid_state = fid_runner.maybe_compute_fid(
+                cfg, sampler, state.sampler_params, key, fid_state)
+            if fid is not None:
+                print0(f"FID: {fid}")
+                if fid < best_fid:
+                    best_fid = fid
+                    ckptlib.save_run_checkpoint(
+                        logdir, "best", sampler_params=state.sampler_params,
+                        v_params=state.v_params,
+                        meta={"fid": fid, "epoch": epoch, "iter": i_iter})
+                logger.log({"FID_": fid, "Best_FID_": best_fid}, i_iter)
+
+        for step, (images, labels) in enumerate(loader.epoch(epoch)):
+            assert images.max() <= 1.0 and images.min() >= 0.0
+            images = shard_batch(mesh, jnp.asarray(images) * 2.0 - 1.0)
+
+            key, sk, uk, gk2 = jax.random.split(key, 4)
+            d_sample = sample_fn(state.sampler_params, sk)
+            traj = buflib.from_d_sample(d_sample)
+            pending.append(traj)
+            state, m_energy = trainer.update_f_v(state, images, traj, uk)
+
+            if (step + 1) % n_critic == 0:
+                full = buflib.concat(*pending) if len(pending) > 1 else pending[0]
+                state, m_sampler = trainer.update_sampler(
+                    state, full, gk2, n_generator=n_generator)
+                pending = []
+
+                if (step + 1) % log_every == 0 and jax.process_index() == 0:
+                    d = {**expand_metrics(m_energy), **expand_metrics(m_sampler),
+                         "weight_norm/sampler_": weight_norm_of(
+                             state.sampler_params),
+                         "weight_norm/value_": weight_norm_of(state.v_params)}
+                    logger.log(d, i_iter)
+                    sps = (i_iter + 1) / (time.time() - t_start)
+                    print0(f"iter {i_iter} d_loss={d['ebm/d_loss_']:.4f} "
+                           f"sampler_loss={d['sampler/sampler_loss_']:.4f} "
+                           f"({sps:.2f} it/s)")
+            i_iter += 1
+            if args.max_steps is not None and i_iter >= args.max_steps:
+                break
+        if args.max_steps is not None and i_iter >= args.max_steps:
+            break
+
+    if jax.process_index() == 0:
+        ckptlib.save_run_checkpoint(logdir, "last",
+                                    sampler_params=state.sampler_params,
+                                    v_params=state.v_params,
+                                    meta={"epoch": epoch, "iter": i_iter})
+        print0(f"done: {i_iter} iters")
+
+
+if __name__ == "__main__":
+    main()
