@@ -101,7 +101,7 @@ class EDMSampler:
             x = jnp.zeros((1, *self.sample_shape), jnp.float32)
             t = jnp.zeros((1,), jnp.float32)
             y = jnp.zeros((1,), jnp.int32) if self.class_cond else None
-            net_params = self.net.init(key, x, t, y)["params"]
+            net_params = jax.jit(self.net.init)(key, x, t, y)["params"]
         # log_betas init: log(clamp(sigma_up, 1e-3)) (openai_diffusion.py:43-48)
         log_betas = jnp.log(jnp.clip(self.schedule.sigma_up, 1e-3))
         return {"net": net_params, "log_betas": log_betas}

@@ -80,7 +80,9 @@ class VARSampler:
         if net_params is None:
             x = jnp.zeros((1, *self.sample_shape), jnp.float32)
             t = jnp.zeros((1,), jnp.float32)
-            net_params = self.net.init(key, x, t)["params"]
+            # jit the init: eager init dispatches thousands of tiny ops
+            # (pathological over a remote-TPU tunnel)
+            net_params = jax.jit(self.net.init)(key, x, t)["params"]
         return {
             "net": net_params,
             "log_betas": jnp.log(self.schedule.init_sigma),

@@ -1,0 +1,184 @@
+"""Generate samples from a trained DxMI CIFAR-10 run (+ optional
+value-guided sampling and FID scoring).
+
+Mirrors the reference CLI (/root/reference/generate_cifar10.py): reads
+``config.yaml`` + ``sampler_{best|last}`` from the run directory — the run
+dir is the serialized experiment contract.
+
+    python generate_cifar10.py --log_dir results/cifar10/T10/myrun \
+        [--sampler best|last] [--n_generate 50000] [--batchsize 100] \
+        [--guidance_scale 0.1] [--save_dir out] [--eval_fid]
+
+TPU-native: generation runs as jitted scans in sampling_batchsize chunks;
+PNG writing streams on a background thread so the device never waits on
+host I/O.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import queue
+import threading
+
+import jax
+
+if os.environ.get("DXMI_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["DXMI_PLATFORM"])
+
+import jax.numpy as jnp
+import numpy as np
+
+from dxmi_tpu import config as cfglib
+from dxmi_tpu.config import instantiate
+from dxmi_tpu.utils import checkpoint as ckptlib
+
+
+def print0(*a, **k):
+    if jax.process_index() == 0:
+        print(*a, **k, flush=True)
+
+
+class AsyncPNGWriter:
+    """Background PNG writer: device keeps sampling while the host encodes
+    (replaces the reference's inline save_image loop,
+    generate_cifar10.py:195-209, which is host-I/O bound)."""
+
+    def __init__(self, out_dir: str, prefix: str, n_threads: int = 4):
+        from PIL import Image  # noqa: F401
+
+        self.out_dir = out_dir
+        self.prefix = prefix
+        self.q: "queue.Queue" = queue.Queue(maxsize=64)
+        self.threads = [threading.Thread(target=self._work, daemon=True)
+                        for _ in range(n_threads)]
+        for t in self.threads:
+            t.start()
+
+    def _work(self):
+        from PIL import Image
+
+        while True:
+            item = self.q.get()
+            if item is None:
+                self.q.task_done()
+                return
+            idx, arr = item
+            Image.fromarray(arr).save(
+                os.path.join(self.out_dir, f"{self.prefix}_{idx}.png"))
+            self.q.task_done()
+
+    def put_batch(self, start_idx: int, batch_u8: np.ndarray):
+        for j, img in enumerate(batch_u8):
+            self.q.put((start_idx + j, img))
+
+    def close(self):
+        for _ in self.threads:
+            self.q.put(None)
+        self.q.join()
+
+
+def to_uint8(x: np.ndarray) -> np.ndarray:
+    """[-1,1] float NHWC -> uint8."""
+    x = np.clip((x + 1.0) / 2.0, 0.0, 1.0)
+    return (x * 255.0 + 0.5).astype(np.uint8)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--log_dir", required=True)
+    p.add_argument("--sampler", default="best", choices=["best", "last"])
+    p.add_argument("--n_generate", type=int, default=50000)
+    p.add_argument("--batchsize", type=int, default=100)
+    p.add_argument("--guidance_scale", type=float, default=None)
+    p.add_argument("--save_dir", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval_fid", action="store_true")
+    p.add_argument("--cleanup", action="store_true",
+                   help="delete generated PNGs after FID")
+    args, unknown = p.parse_known_args()
+
+    cfg = cfglib.load_yaml(os.path.join(args.log_dir, "config.yaml"))
+    d_cmd = cfglib.parse_nested_args(cfglib.parse_unknown_args(unknown))
+    cfg = cfglib.merge(cfg, d_cmd)
+
+    assert args.n_generate % args.batchsize == 0, \
+        "n_generate must be a multiple of batchsize"
+
+    net = instantiate(cfg["sampler_net"])
+    sampler = instantiate(cfg["sampler"], net=net)
+
+    ckpt_path = os.path.join(args.log_dir, f"sampler_{args.sampler}.msgpack")
+    ckpt = ckptlib.load_checkpoint(ckpt_path)
+    sampler_params = jax.tree.map(jnp.asarray, ckpt["params"])
+    meta = ckpt.get("meta", {})
+    if "fid" in meta:
+        print0(f"checkpoint FID {meta['fid']} (epoch {meta.get('epoch')})")
+
+    trainer = None
+    state = None
+    if args.guidance_scale:
+        value = instantiate(cfg["value"])
+        trainer = instantiate(cfg["trainer"],
+                              batchsize=args.batchsize,
+                              n_timesteps=cfg["sampler"]["n_timesteps"])
+        trainer.set_models(sampler, value, lr=1e-7, v_lr=1e-5)
+        v_ckpt = ckptlib.load_checkpoint(
+            os.path.join(args.log_dir, f"value_{args.sampler}.msgpack"))
+        v_params = jax.tree.map(jnp.asarray, v_ckpt["params"])
+        state = trainer.init_state(sampler_params, v_params)
+        trainer.guidance_scale = args.guidance_scale
+        print0(f"value-guided sampling, scale={args.guidance_scale}")
+
+    save_dir = args.save_dir or os.path.join(
+        args.log_dir, f"generated_{args.sampler}")
+    os.makedirs(save_dir, exist_ok=True)
+    writer = AsyncPNGWriter(save_dir, prefix=str(jax.process_index()))
+
+    if trainer is not None:
+        sample_fn = jax.jit(lambda k: trainer.sample_guidance(
+            state, k, args.batchsize,
+            guidance_scale=args.guidance_scale)["sample"])
+    else:
+        sample_fn = jax.jit(
+            lambda k: sampler.sample(sampler_params, k, args.batchsize)["sample"])
+
+    key = jax.random.key(args.seed)
+    key = jax.random.fold_in(key, jax.process_index())
+    n_local = args.n_generate // jax.process_count()
+    i_img = 0
+    n_batches = n_local // args.batchsize
+    for i in range(n_batches):
+        key, k = jax.random.split(key)
+        x = np.asarray(sample_fn(k))
+        writer.put_batch(i_img, to_uint8(x))
+        i_img += len(x)
+        if (i + 1) % 10 == 0:
+            print0(f"{i_img}/{n_local} generated")
+    writer.close()
+    print0(f"wrote {i_img} PNGs to {save_dir}")
+
+    if args.eval_fid and jax.process_index() == 0:
+        from dxmi_tpu.fid import runner as fid_runner
+
+        w = fid_runner._find(fid_runner.DEFAULT_WEIGHTS)
+        s = fid_runner._find(fid_runner.DEFAULT_STATS)
+        if w is None or s is None:
+            print0("FID skipped: Inception weights / dataset stats not on disk")
+        else:
+            from dxmi_tpu.fid import stats as stats_lib
+            from dxmi_tpu.fid.image_dir import dir_activations
+
+            fid_state = fid_runner.build_fid_state(w, s)
+            acts = dir_activations(save_dir, fid_state.extract_fn,
+                                   batch=args.batchsize)
+            m1, s1 = stats_lib.activation_statistics(acts)
+            fid = stats_lib.frechet_distance(m1, s1, fid_state.m2, fid_state.s2)
+            print0(f"FID: {fid}")
+        if args.cleanup:
+            import shutil
+
+            shutil.rmtree(save_dir)
+
+
+if __name__ == "__main__":
+    main()

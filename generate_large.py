@@ -1,0 +1,133 @@
+"""Generate from a trained large-image DxMI run, with on-device FID or the
+``--skip_fid`` streaming-PNG path (capability parity with
+/root/reference/generate_large.py; hosts can't hold 50k x 256^2 images, so
+the PNG path streams batches through a background writer).
+
+    python generate_large.py --log_dir results/imagenet64/T10/run \
+        [--n_generate 50000] [--batchsize 100] [--skip_fid] [--save_npz out.npz]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+if os.environ.get("DXMI_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["DXMI_PLATFORM"])
+
+import jax.numpy as jnp
+import numpy as np
+
+from dxmi_tpu import config as cfglib
+from dxmi_tpu.config import instantiate
+from dxmi_tpu.models.unet_adm import create_unet_adm
+from dxmi_tpu.samplers.edm import EDMSampler, KarrasDenoiser
+from dxmi_tpu.utils import checkpoint as ckptlib
+from generate_cifar10 import AsyncPNGWriter, to_uint8
+
+
+def print0(*a, **k):
+    if jax.process_index() == 0:
+        print(*a, **k, flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--log_dir", required=True)
+    p.add_argument("--sampler", default="best", choices=["best", "last"])
+    p.add_argument("--n_generate", type=int, default=50000)
+    p.add_argument("--batchsize", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--skip_fid", action="store_true",
+                   help="stream PNGs to disk instead of computing FID")
+    p.add_argument("--save_dir", default=None)
+    p.add_argument("--save_npz", default=None,
+                   help="also pack samples into an npz (evaluator input)")
+    args, unknown = p.parse_known_args()
+
+    cfg = cfglib.load_yaml(os.path.join(args.log_dir, "config.yaml"))
+    cfg = cfglib.merge(cfg, cfglib.parse_nested_args(
+        cfglib.parse_unknown_args(unknown)))
+
+    dcfg = dict(cfg["diffusion"])
+    sigma_min = dcfg.pop("sigma_min", 0.002)
+    sigma_max = dcfg.pop("sigma_max", 80.0)
+    dcfg.pop("weight_schedule", None)
+    distillation = dcfg.pop("distillation", False)
+    net = create_unet_adm(**dcfg)
+    denoiser = KarrasDenoiser(sigma_min=sigma_min, sigma_max=sigma_max,
+                              distillation=distillation)
+    sampler = EDMSampler(net, denoiser, **cfg["sampler"])
+
+    ckpt = ckptlib.load_checkpoint(
+        os.path.join(args.log_dir, f"sampler_{args.sampler}.msgpack"))
+    params = jax.tree.map(jnp.asarray, ckpt["params"])
+    if "fid" in ckpt.get("meta", {}):
+        print0(f"checkpoint FID {ckpt['meta']['fid']}")
+
+    sample_fn = jax.jit(lambda p, k: sampler.sample(p, k, args.batchsize)["sample"])
+
+    key = jax.random.fold_in(jax.random.key(args.seed), jax.process_index())
+    n_local = args.n_generate // jax.process_count()
+    n_batches = n_local // args.batchsize
+
+    writer = None
+    if args.skip_fid or args.save_dir:
+        save_dir = args.save_dir or os.path.join(
+            args.log_dir, f"generated_{args.sampler}")
+        os.makedirs(save_dir, exist_ok=True)
+        writer = AsyncPNGWriter(save_dir, prefix=str(jax.process_index()))
+
+    acts = []
+    npz_batches = [] if args.save_npz else None
+    fid_state = None
+    if not args.skip_fid:
+        from dxmi_tpu.fid import runner as fid_runner
+
+        name = cfg["data"]["name"]
+        s = fid_runner._find((
+            f"datasets/VIRTUAL_{name}_labeled.npz",
+            f"datasets/VIRTUAL_{name}.npz",
+            "datasets/VIRTUAL_imagenet64_labeled.npz",
+            "datasets/VIRTUAL_lsun_bedroom256.npz"))
+        w = fid_runner._find(fid_runner.DEFAULT_WEIGHTS)
+        if w and s:
+            fid_state = fid_runner.build_fid_state(w, s)
+        else:
+            print0("FID assets missing; falling back to PNG dump")
+
+    i_img = 0
+    for i in range(n_batches):
+        key, k = jax.random.split(key)
+        x = sample_fn(params, k)
+        if fid_state is not None:
+            x01 = jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
+            acts.append(np.asarray(fid_state.extract_fn(x01)))
+        xu8 = to_uint8(np.asarray(x))
+        if writer is not None:
+            writer.put_batch(i_img, xu8)
+        if npz_batches is not None:
+            npz_batches.append(xu8)
+        i_img += len(xu8)
+        if (i + 1) % 10 == 0:
+            print0(f"{i_img}/{n_local}")
+
+    if writer is not None:
+        writer.close()
+        print0(f"wrote {i_img} PNGs")
+    if npz_batches is not None and jax.process_index() == 0:
+        np.savez(args.save_npz, arr_0=np.concatenate(npz_batches))
+        print0(f"saved npz to {args.save_npz}")
+
+    if fid_state is not None and jax.process_index() == 0:
+        from dxmi_tpu.fid import stats as stats_lib
+
+        a = np.concatenate(acts)
+        m1, s1 = stats_lib.activation_statistics(a)
+        fid = stats_lib.frechet_distance(m1, s1, fid_state.m2, fid_state.s2)
+        print0(f"FID: {fid}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""FID stack tests: Inception architecture shapes, statistics math,
+Frechet distance (vs closed forms), Newton-Schulz sqrtm."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dxmi_tpu.fid import stats as S
+from dxmi_tpu.fid.inception import InceptionV3FID, random_fid_inception_params
+
+
+def test_inception_shapes():
+    model = InceptionV3FID()
+    params = random_fid_inception_params(jax.random.key(0))
+    x = jnp.zeros((2, 32, 32, 3))
+    out = jax.jit(lambda p, x: model.apply({"params": p}, x))(params, x)
+    assert out.shape == (2, 2048)
+    # 64x64 input resizes too
+    out = model.apply({"params": params}, jnp.zeros((1, 64, 64, 3)))
+    assert out.shape == (1, 2048)
+
+
+def test_frechet_identical_is_zero():
+    rng = np.random.RandomState(0)
+    acts = rng.randn(500, 16)
+    mu, sig = S.activation_statistics(acts)
+    assert S.frechet_distance(mu, sig, mu, sig) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_frechet_mean_shift_closed_form():
+    """For equal covariances, FID = ||mu1 - mu2||^2."""
+    rng = np.random.RandomState(1)
+    d = 8
+    sigma = np.eye(d)
+    mu1 = np.zeros(d)
+    mu2 = rng.randn(d)
+    fid = S.frechet_distance(mu1, sigma, mu2, sigma)
+    assert fid == pytest.approx(float(np.sum(mu2**2)), rel=1e-6)
+
+
+def test_frechet_diagonal_closed_form():
+    """Diagonal Gaussians: FID = sum (s1_i^.5 - s2_i^.5)^2 + ||dmu||^2."""
+    s1 = np.diag([1.0, 4.0, 9.0])
+    s2 = np.diag([4.0, 1.0, 1.0])
+    expect = (1 - 2) ** 2 + (2 - 1) ** 2 + (3 - 1) ** 2
+    fid = S.frechet_distance(np.zeros(3), s1, np.zeros(3), s2)
+    assert fid == pytest.approx(float(expect), rel=1e-6)
+
+
+def test_newton_schulz_sqrtm():
+    rng = np.random.RandomState(2)
+    a = rng.randn(16, 16)
+    spd = a @ a.T + 16 * np.eye(16)
+    root = np.asarray(S.sqrtm_newton_schulz(jnp.asarray(spd), iters=30))
+    np.testing.assert_allclose(root @ root, spd, rtol=1e-3, atol=1e-3)
+
+
+def test_statistics_ddof():
+    rng = np.random.RandomState(3)
+    acts = rng.randn(100, 5)
+    mu, sig = S.activation_statistics(acts)
+    np.testing.assert_allclose(mu, acts.mean(0))
+    np.testing.assert_allclose(sig, np.cov(acts, rowvar=False))

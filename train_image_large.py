@@ -1,0 +1,222 @@
+"""DxMI training for ImageNet64 / LSUN on TPU (EDM backbone).
+
+Mirrors the reference flow (/root/reference/train_image_large.py): build
+the ADM U-Net + Karras denoiser, load the pretrained EDM checkpoint, wrap
+as a T-step Euler-ancestral policy, and run the conditional DxMI loop:
+
+    sample -> update_f_v -> update_sampler (full-buffer sweep)
+
+with periodic on-device FID against VIRTUAL_* reference statistics.
+
+    python train_image_large.py --config configs/imagenet64/T10.yaml \
+        --dataset configs/imagenet64/imagenet64.yaml --run myrun
+
+TPU-native: bf16 torso (no loss-scaling machinery), one jitted program per
+phase, SPMD over all visible devices.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+
+if os.environ.get("DXMI_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["DXMI_PLATFORM"])
+
+import jax.numpy as jnp
+import numpy as np
+
+from dxmi_tpu import config as cfglib
+from dxmi_tpu.config import instantiate
+from dxmi_tpu.data.image_folder import load_data
+from dxmi_tpu.models.unet_adm import create_unet_adm
+from dxmi_tpu.parallel import create_mesh, replicate, shard_batch
+from dxmi_tpu.samplers.edm import EDMSampler, KarrasDenoiser
+from dxmi_tpu.trainers import buffer as buflib
+from dxmi_tpu.utils import checkpoint as ckptlib
+from dxmi_tpu.utils.logging import BaseLogger, expand_metrics
+
+
+def print0(*a, **k):
+    if jax.process_index() == 0:
+        print(*a, **k, flush=True)
+
+
+def build_sampler(cfg, key):
+    dcfg = dict(cfg["diffusion"])
+    sigma_min = dcfg.pop("sigma_min", 0.002)
+    sigma_max = dcfg.pop("sigma_max", 80.0)
+    weight_schedule = dcfg.pop("weight_schedule", "uniform")
+    distillation = dcfg.pop("distillation", False)
+    net = create_unet_adm(**dcfg)
+    denoiser = KarrasDenoiser(sigma_min=sigma_min, sigma_max=sigma_max,
+                              weight_schedule=weight_schedule,
+                              distillation=distillation)
+    sampler = EDMSampler(net, denoiser, **cfg["sampler"])
+    params = sampler.init_params(key)
+
+    ckpt_path = cfg["training"].get("pretrained_path")
+    if ckpt_path and os.path.exists(ckpt_path):
+        from dxmi_tpu.utils import convert
+
+        state_np = ckptlib.load_torch_checkpoint(ckpt_path)
+        state_np.pop("__meta__", None)
+        converted = convert.convert_unet_adm(state_np)
+        params["net"] = jax.tree.map(jnp.asarray, converted["params"])
+        if "log_betas" in converted:
+            params["log_betas"] = jnp.asarray(converted["log_betas"])
+        print0(f"pretrained EDM loaded from {ckpt_path}")
+    elif ckpt_path:
+        print0(f"WARNING: pretrained ckpt {ckpt_path} missing; random init")
+    return sampler, params
+
+
+def maybe_fid_state(cfg):
+    """Reference stats (VIRTUAL_*.npz) + Inception weights, if on disk."""
+    from dxmi_tpu.fid import runner as fid_runner
+
+    name = cfg["data"]["name"]
+    stats_candidates = [
+        f"datasets/VIRTUAL_{name}_labeled.npz",
+        f"datasets/VIRTUAL_{name}.npz",
+        "datasets/VIRTUAL_imagenet64_labeled.npz" if "imagenet" in name else
+        "datasets/VIRTUAL_lsun_bedroom256.npz",
+    ]
+    w = fid_runner._find(fid_runner.DEFAULT_WEIGHTS)
+    s = fid_runner._find(tuple(stats_candidates))
+    if w is None or s is None:
+        return None
+    return fid_runner.build_fid_state(w, s)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--run", default="run")
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--fake_data", action="store_true")
+    args, unknown = p.parse_known_args()
+
+    d_cmd = cfglib.parse_nested_args(cfglib.parse_unknown_args(unknown))
+    cfg = cfglib.merge(cfglib.load_yaml(args.config),
+                       cfglib.load_yaml(args.dataset), d_cmd)
+    print0(cfglib.to_yaml(cfg))
+
+    tr = cfg["training"]
+    seed = int(tr["seed"])
+    key = jax.random.fold_in(jax.random.key(seed), jax.process_index())
+
+    mesh = create_mesh()
+    batchsize = int(tr["batchsize"])
+    print0(f"SPMD over {mesh.devices.size} device(s)")
+
+    key, bk = jax.random.split(key)
+    sampler, sampler_params = build_sampler(cfg, bk)
+    value = instantiate(cfg["value"])
+    trainer = instantiate(cfg["trainer"], batchsize=batchsize,
+                          n_timesteps=cfg["sampler"]["n_timesteps"])
+    trainer.set_models(sampler, value, lr=float(tr["lr"]),
+                       v_lr=float(tr["v_lr"]),
+                       beta_lr=float(tr.get("beta_lr") or tr["lr"]))
+
+    h, w, c = sampler.sample_shape
+    key, vk = jax.random.split(key)
+    v_params = jax.jit(value.init)(vk, jnp.zeros((1, h, w, c)),
+                                   jnp.zeros((1,), jnp.int32))["params"]
+    state = replicate(mesh, trainer.init_state(sampler_params, v_params))
+
+    class_cond = bool(cfg["sampler"].get("class_cond"))
+    if args.fake_data:
+        def fake_gen():
+            rng = np.random.RandomState(seed)
+            while True:
+                x = rng.rand(batchsize, h, w, c).astype(np.float32) * 2 - 1
+                extra = {"y": rng.randint(0, max(sampler.num_classes, 1),
+                                          batchsize).astype(np.int32)} \
+                    if class_cond else {}
+                yield x, extra
+        data = fake_gen()
+        print0("using fake data stand-in")
+    else:
+        data = load_data(
+            data_dir=cfg["data"]["data_dir"], batch_size=batchsize,
+            image_size=int(cfg["data"]["image_size"]),
+            class_cond=class_cond,
+            cachefile=cfg["data"].get("cachefile"),
+            deterministic=bool(cfg["data"].get("deterministic", False)),
+            seed=seed, process_index=jax.process_index(),
+            process_count=jax.process_count())
+
+    model_cfg_name = os.path.basename(args.config).split(".")[0]
+    logdir = os.path.join(f"results/{cfg['data']['name']}/{model_cfg_name}",
+                          args.run)
+    logger = BaseLogger(None)
+    if jax.process_index() == 0:
+        os.makedirs(logdir, exist_ok=True)
+        cfglib.save_yaml(cfg, os.path.join(logdir, "config.yaml"))
+        try:
+            from tensorboardX import SummaryWriter
+
+            logger = BaseLogger(SummaryWriter(logdir=logdir))
+        except ImportError:
+            pass
+
+    sample_fn = jax.jit(lambda p, k: sampler.sample(p, k, batchsize))
+    fid_state = maybe_fid_state(cfg)
+    best_fid = float("inf")
+    fid_every = tr.get("fid_every")
+    log_every = int(tr["log_every"])
+    n_iter = int(tr["n_iter"]) if args.max_steps is None else args.max_steps
+
+    t0 = time.time()
+    for i_iter in range(n_iter):
+        if (fid_every and fid_state is not None
+                and i_iter % int(fid_every) == 0):
+            from dxmi_tpu.fid.runner import compute_fid_from_sampler
+
+            key, fk = jax.random.split(key)
+            fid = compute_fid_from_sampler(
+                sampler, state.sampler_params, fk, fid_state,
+                n_samples=int(tr["n_fid_samples"]),
+                batch=int(tr["sampling_batchsize"]))
+            print0(f"iter {i_iter} FID {fid}")
+            if fid < best_fid and jax.process_index() == 0:
+                best_fid = fid
+                ckptlib.save_run_checkpoint(
+                    logdir, "best", sampler_params=state.sampler_params,
+                    v_params=state.v_params,
+                    meta={"fid": fid, "i_iter": i_iter})
+            logger.log({"FID_": fid, "Best_FID_": best_fid}, i_iter)
+
+        x, extra = next(data)
+        x = shard_batch(mesh, jnp.asarray(x))
+        y = (shard_batch(mesh, jnp.asarray(extra["y"]))
+             if "y" in extra else None)
+
+        key, sk, uk, gk = jax.random.split(key, 4)
+        d_sample = sample_fn(state.sampler_params, sk)
+        traj = buflib.from_d_sample(d_sample)
+        state, m_energy = trainer.update_f_v(state, x, traj, uk, y=y)
+        state, m_sampler = trainer.update_sampler(state, traj, gk)
+
+        if i_iter % log_every == 0 and jax.process_index() == 0:
+            d = {**expand_metrics(m_energy), **expand_metrics(m_sampler)}
+            logger.log(d, i_iter)
+            ips = (i_iter + 1) / (time.time() - t0)
+            print0(f"iter {i_iter} d_loss={d['ebm/d_loss_']:.4f} "
+                   f"sampler_loss={d['sampler/sampler_loss_']:.4f} "
+                   f"({ips:.3f} it/s)")
+
+    if jax.process_index() == 0:
+        ckptlib.save_run_checkpoint(logdir, "last",
+                                    sampler_params=state.sampler_params,
+                                    v_params=state.v_params,
+                                    meta={"i_iter": n_iter})
+        print0("done")
+
+
+if __name__ == "__main__":
+    main()
