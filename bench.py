@@ -10,9 +10,17 @@ Baseline: BASELINE.md north-star — >= 2,000 images/sec/chip sampling
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
+
+# persistent compile cache: first bench compile of the scanned U-Net is
+# minutes over the remote-compile tunnel; later runs hit the cache
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 BASELINE_IMAGES_PER_SEC = 2000.0

@@ -1,0 +1,228 @@
+"""NCSN++ generator with adaptive group norm and latent-z conditioning —
+the DDGAN denoising generator.
+
+The reference config targets ``models.ddgan.models.ncsnpp_generator_adagn
+.NCSNpp`` with ``models.ddgan.NCSNppArgs`` defaults
+(/root/reference/configs/cifar10/T4_ddgan.yaml:2-9), but the module is NOT
+in the snapshot (SURVEY.md §2.0). This is a from-scratch reconstruction of
+the documented DDGAN architecture (Xiao et al., ICLR 2022: score_sde
+NCSN++ backbone + BigGAN resblocks + adaptive GroupNorm conditioned on a
+mapped latent z), TPU-native (NHWC, FIR resampling as depthwise convs).
+
+``__call__(x, t, z)`` -> denoised x0 prediction in [-1, 1] (tanh head).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dxmi_tpu.models.unet_small import timestep_embedding
+
+
+@dataclasses.dataclass
+class NCSNppArgs:
+    """DDGAN CIFAR-10 generator hyperparameters (the published run's
+    defaults)."""
+
+    image_size: int = 32
+    num_channels: int = 3
+    nf: int = 128
+    ch_mult: Tuple[int, ...] = (1, 2, 2, 2)
+    num_res_blocks: int = 2
+    attn_resolutions: Tuple[int, ...] = (16,)
+    dropout: float = 0.0
+    nz: int = 100
+    z_emb_dim: int = 256
+    n_mlp: int = 3
+    skip_rescale: bool = True
+    use_tanh: bool = True
+
+
+_FIR_KERNEL = np.array([1.0, 3.0, 3.0, 1.0])
+
+
+def _fir_filter_2d() -> np.ndarray:
+    k = np.outer(_FIR_KERNEL, _FIR_KERNEL)
+    return (k / k.sum()).astype(np.float32)
+
+
+def fir_downsample(x: jnp.ndarray) -> jnp.ndarray:
+    """StyleGAN2-style FIR antialiased 2x downsample as a depthwise conv."""
+    C = x.shape[-1]
+    k = jnp.asarray(_fir_filter_2d())[:, :, None, None]
+    k = jnp.tile(k, (1, 1, 1, C))  # HWIO with feature_group_count=C
+    return jax.lax.conv_general_dilated(
+        x, k, window_strides=(2, 2), padding=((1, 2), (1, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
+
+
+def fir_upsample(x: jnp.ndarray) -> jnp.ndarray:
+    """FIR antialiased 2x upsample (zero-stuff then smooth; gain 4)."""
+    B, H, W, C = x.shape
+    up = jnp.zeros((B, H * 2, W * 2, C), x.dtype)
+    up = up.at[:, ::2, ::2, :].set(x)
+    k = jnp.asarray(_fir_filter_2d() * 4.0)[:, :, None, None]
+    k = jnp.tile(k, (1, 1, 1, C))
+    return jax.lax.conv_general_dilated(
+        up, k, window_strides=(1, 1), padding=((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
+
+
+def _num_groups(C: int) -> int:
+    """score_sde convention: min(C // 4, 32) groups (divides C for all the
+    channel counts this architecture produces)."""
+    return max(min(C // 4, 32), 1)
+
+
+class AdaGN(nn.Module):
+    """GroupNorm whose affine params come from the z embedding
+    (the 'adagn' in ncsnpp_generator_adagn)."""
+
+    @nn.compact
+    def __call__(self, h, zemb):
+        C = h.shape[-1]
+        h32 = nn.GroupNorm(num_groups=_num_groups(C), use_scale=False,
+                           use_bias=False, dtype=jnp.float32,
+                           name="gn")(h.astype(jnp.float32)).astype(h.dtype)
+        film = nn.Dense(2 * C, name="film")(zemb)
+        scale, shift = jnp.split(film, 2, axis=-1)
+        return h32 * (1.0 + scale[:, None, None, :]) + shift[:, None, None, :]
+
+
+class ResBlockBigGAN(nn.Module):
+    out_channels: int
+    up: bool = False
+    down: bool = False
+    dropout: float = 0.0
+    skip_rescale: bool = True
+
+    @nn.compact
+    def __call__(self, x, temb, zemb, *, deterministic: bool = True):
+        in_ch = x.shape[-1]
+        h = AdaGN(name="norm1")(x, zemb)
+        h = jax.nn.silu(h)
+        if self.up:
+            h = fir_upsample(h)
+            x = fir_upsample(x)
+        elif self.down:
+            h = fir_downsample(h)
+            x = fir_downsample(x)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1")(h)
+        h = h + nn.Dense(self.out_channels, name="temb_proj")(
+            jax.nn.silu(temb))[:, None, None, :]
+        h = AdaGN(name="norm2")(h, zemb)
+        h = jax.nn.silu(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1,
+                    kernel_init=nn.initializers.zeros, name="conv2")(h)
+        if in_ch != self.out_channels or self.up or self.down:
+            x = nn.Conv(self.out_channels, (1, 1), name="shortcut")(x)
+        out = x + h
+        return out / np.sqrt(2.0) if self.skip_rescale else out
+
+
+class AttnBlockSkip(nn.Module):
+    skip_rescale: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        h = nn.GroupNorm(num_groups=_num_groups(C), name="norm")(x)
+        q = nn.Conv(C, (1, 1), name="q")(h).reshape(B, H * W, C)
+        k = nn.Conv(C, (1, 1), name="k")(h).reshape(B, H * W, C)
+        v = nn.Conv(C, (1, 1), name="v")(h).reshape(B, H * W, C)
+        w = jax.nn.softmax(
+            jnp.einsum("bqc,bkc->bqk", q, k) * (C ** -0.5), axis=-1)
+        h = jnp.einsum("bqk,bkc->bqc", w, v).reshape(B, H, W, C)
+        h = nn.Conv(C, (1, 1), kernel_init=nn.initializers.zeros,
+                    name="proj_out")(h)
+        out = x + h
+        return out / np.sqrt(2.0) if self.skip_rescale else out
+
+
+class NCSNpp(nn.Module):
+    """DDGAN generator: predicts x0 from (x_t, t, z)."""
+
+    config: NCSNppArgs = dataclasses.field(default_factory=NCSNppArgs)
+
+    @nn.compact
+    def __call__(self, x, t, z, *, deterministic: bool = True):
+        cfg = self.config
+        nf = cfg.nf
+        temb_ch = nf * 4
+
+        # z mapping network
+        zemb = z
+        for i in range(cfg.n_mlp):
+            zemb = nn.Dense(cfg.z_emb_dim, name=f"z_mlp_{i}")(zemb)
+            zemb = jax.nn.silu(zemb)
+
+        temb = timestep_embedding(t.astype(jnp.float32), nf)
+        temb = nn.Dense(temb_ch, name="temb_dense0")(temb)
+        temb = nn.Dense(temb_ch, name="temb_dense1")(jax.nn.silu(temb))
+
+        h = nn.Conv(nf, (3, 3), padding=1, name="conv_in")(x)
+        hs = [h]
+        res = cfg.image_size
+        input_pyramid = x
+        for i_level, mult in enumerate(cfg.ch_mult):
+            for i_block in range(cfg.num_res_blocks):
+                h = ResBlockBigGAN(nf * mult, dropout=cfg.dropout,
+                                   skip_rescale=cfg.skip_rescale,
+                                   name=f"down_{i_level}_block_{i_block}")(
+                    h, temb, zemb, deterministic=deterministic)
+                if res in cfg.attn_resolutions:
+                    h = AttnBlockSkip(cfg.skip_rescale,
+                                      name=f"down_{i_level}_attn_{i_block}")(h)
+                hs.append(h)
+            if i_level != len(cfg.ch_mult) - 1:
+                h = ResBlockBigGAN(h.shape[-1], down=True, dropout=cfg.dropout,
+                                   skip_rescale=cfg.skip_rescale,
+                                   name=f"down_{i_level}_downsample")(
+                    h, temb, zemb, deterministic=deterministic)
+                # progressive_input='residual' pyramid
+                input_pyramid = fir_downsample(input_pyramid)
+                pyr = nn.Conv(h.shape[-1], (1, 1),
+                              name=f"pyramid_{i_level}")(input_pyramid)
+                h = (h + pyr) / np.sqrt(2.0) if cfg.skip_rescale else h + pyr
+                hs.append(h)
+                res //= 2
+
+        h = ResBlockBigGAN(h.shape[-1], dropout=cfg.dropout,
+                           skip_rescale=cfg.skip_rescale,
+                           name="mid_block_1")(h, temb, zemb,
+                                               deterministic=deterministic)
+        h = AttnBlockSkip(cfg.skip_rescale, name="mid_attn")(h)
+        h = ResBlockBigGAN(h.shape[-1], dropout=cfg.dropout,
+                           skip_rescale=cfg.skip_rescale,
+                           name="mid_block_2")(h, temb, zemb,
+                                               deterministic=deterministic)
+
+        for i_level in reversed(range(len(cfg.ch_mult))):
+            for i_block in range(cfg.num_res_blocks + 1):
+                h = ResBlockBigGAN(nf * cfg.ch_mult[i_level],
+                                   dropout=cfg.dropout,
+                                   skip_rescale=cfg.skip_rescale,
+                                   name=f"up_{i_level}_block_{i_block}")(
+                    jnp.concatenate([h, hs.pop()], axis=-1), temb, zemb,
+                    deterministic=deterministic)
+                if res in cfg.attn_resolutions:
+                    h = AttnBlockSkip(cfg.skip_rescale,
+                                      name=f"up_{i_level}_attn_{i_block}")(h)
+            if i_level != 0:
+                h = ResBlockBigGAN(h.shape[-1], up=True, dropout=cfg.dropout,
+                                   skip_rescale=cfg.skip_rescale,
+                                   name=f"up_{i_level}_upsample")(
+                    h, temb, zemb, deterministic=deterministic)
+                res *= 2
+        assert not hs
+
+        h = nn.GroupNorm(num_groups=_num_groups(h.shape[-1]), name="norm_out")(h)
+        h = jax.nn.silu(h)
+        h = nn.Conv(cfg.num_channels, (3, 3), padding=1, name="conv_out")(h)
+        return jnp.tanh(h) if cfg.use_tanh else h

@@ -1,0 +1,119 @@
+"""DDGAN sampler/generator tests: VP schedule math, posterior identities,
+d_step contract, z-conditioning, and a trainer tick."""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dxmi_tpu.samplers.ddgan import DDGANSampler, ddgan_schedule, _vp_variance
+from dxmi_tpu.models.ncsnpp import NCSNpp, NCSNppArgs
+
+
+class TinyGen(nn.Module):
+    """Stub x0-generator so sampler tests stay cheap."""
+
+    nz: int = 100
+
+    @nn.compact
+    def __call__(self, x, t, z, *, deterministic=True):
+        zb = nn.Dense(8, name="zproj")(z)
+        h = nn.Conv(8, (3, 3), padding=1)(x) + zb[:, None, None, :]
+        return nn.Conv(x.shape[-1], (3, 3), padding=1)(jax.nn.silu(h))
+
+
+def test_vp_schedule_identities():
+    T = 4
+    sch = ddgan_schedule(T)
+    # posterior coefficient identity: at each DDGAN time t,
+    # c1 * sqrt(a_bar) + c2 * ... -> verify via reconstruction instead:
+    # if x_t = sqrt(a_bar_t) x0 + sqrt(1-a_bar_t) eps and the prediction is
+    # exact, the posterior mean must interpolate toward x0; at the final
+    # sampling step (DDGAN t=1, a_bar_prev=1) mean == x0 exactly:
+    np.testing.assert_allclose(float(sch.x0_coef[-1] + 0.0), float(sch.x0_coef[-1]))
+    t = np.arange(0, T + 1) / T * (1 - 1e-3) + 1e-3
+    var = _vp_variance(t)
+    a_bar = 1 - var
+    betas = 1 - a_bar[1:] / a_bar[:-1]
+    alphas = 1 - betas
+    # last sampling step uses DDGAN t=1: c1 = beta_1 * 1 / (1 - a_bar_1),
+    # c2 = 0 * sqrt(alpha_1) / ... with a_bar_prev = 1
+    c1_expect = betas[0] * 1.0 / (1 - np.cumprod(alphas)[0])
+    np.testing.assert_allclose(float(sch.x0_coef[-1]), c1_expect, rtol=1e-5)
+    np.testing.assert_allclose(float(sch.xt_coef[-1]), 0.0, atol=1e-7)
+    # analytic terminal sigma is 0; init floor is 1e-3
+    assert float(sch.sigma_q[-1]) == 0.0
+    assert float(sch.init_sigma[-1]) == pytest.approx(1e-3)
+    # exact-prediction consistency: with perfect x0 and zero noise, applying
+    # all steps starting from x_T must converge to x0 (coefficients sum to
+    # 1 in the x0/xt basis when the chain contracts) — check c1+c2*<1 decay
+    assert np.all(np.asarray(sch.x0_coef) > 0)
+    assert np.all(np.asarray(sch.xt_coef) >= 0)
+
+
+def test_ddgan_sampler_contract():
+    s = DDGANSampler(TinyGen(), n_timesteps=4, sample_shape=(3, 8, 8),
+                     trainable_beta="fix_last", use_z=True, nz=16)
+    p = s.init_params(jax.random.key(0))
+    assert p["log_betas"].shape == (4,)
+    d = s.sample(p, jax.random.key(1), n_sample=3)
+    assert d["sample"].shape == (3, 8, 8, 3)
+    assert d["l_sample"].shape == (5, 3, 8, 8, 3)
+    assert np.isfinite(np.asarray(d["logp"])).all()
+
+    d1 = s.sample_step(p, jnp.ones((2, 8, 8, 3)), jnp.array([0, 3]),
+                       jax.random.key(2))
+    assert d1["sample"].shape == (2, 8, 8, 3)
+    assert float(d1["sigma"][1]) == pytest.approx(1e-3)
+
+
+def test_ddgan_use_z_changes_output():
+    s = DDGANSampler(TinyGen(), n_timesteps=4, sample_shape=(3, 8, 8),
+                     use_z=True, nz=16)
+    p = s.init_params(jax.random.key(0))
+    x = jnp.ones((2, 8, 8, 3))
+    a = s.sample_step(p, x, jnp.array([1, 1]), jax.random.key(1))
+    b = s.sample_step(p, x, jnp.array([1, 1]), jax.random.key(2))
+    # different z (and noise) -> different means (z reaches the generator)
+    assert not np.allclose(np.asarray(a["mean"]), np.asarray(b["mean"]))
+
+
+def test_ncsnpp_shapes():
+    cfg = NCSNppArgs(image_size=16, nf=16, ch_mult=(1, 2), num_res_blocks=1,
+                     attn_resolutions=(8,), nz=16, z_emb_dim=32, n_mlp=2)
+    model = NCSNpp(config=cfg)
+    x = jnp.zeros((2, 16, 16, 3))
+    t = jnp.array([0.0, 3.0])
+    z = jnp.zeros((2, 16))
+    params = jax.jit(model.init)(jax.random.key(0), x, t, z)
+    out = model.apply(params, x, t, z)
+    assert out.shape == (2, 16, 16, 3)
+    assert np.all(np.abs(np.asarray(out)) <= 1.0)  # tanh head
+
+
+def test_ddgan_trainer_tick():
+    from dxmi_tpu.models.igebm import IGEBMEncoder
+    from dxmi_tpu.models.value import TimeIndependentValue
+    from dxmi_tpu.trainers import buffer as buflib
+    from dxmi_tpu.trainers.dxmi import DxMITrainer
+
+    T, B, RES = 4, 4, 8
+    s = DDGANSampler(TinyGen(), n_timesteps=T, sample_shape=(3, RES, RES),
+                     use_z=True, nz=16)
+    value = TimeIndependentValue(net=IGEBMEncoder(nh=8, keepdim=False))
+    tr = DxMITrainer(batchsize=B, tau1=0.1, tau2=0.01, gamma=1.0,
+                     n_timesteps=T, use_sampler_beta=True, value_resample=True,
+                     adavelreg=0.99, time_cost=0.0, time_cost_sig=1.0)
+    tr.set_models(s, value, lr=1e-4, v_lr=1e-4, beta_lr=1e-4)
+    sp = s.init_params(jax.random.key(0))
+    vp = value.init(jax.random.key(1), jnp.zeros((1, RES, RES, 3)),
+                    jnp.zeros((1,), jnp.int32))["params"]
+    state = tr.init_state(sp, vp)
+
+    d = s.sample(state.sampler_params, jax.random.key(2), B)
+    b = buflib.from_d_sample(d)
+    img = jax.random.normal(jax.random.key(3), (B, RES, RES, 3))
+    state, m1 = tr.update_f_v(state, img, b, jax.random.key(4))
+    state, m2 = tr.update_sampler(state, b, jax.random.key(5))
+    assert np.isfinite(float(m1["ebm/d_loss_"]))
+    assert np.isfinite(float(m2["sampler/sampler_loss_"]))
