@@ -55,10 +55,14 @@ class VARSampler:
         assert trainable_beta in {True, False, "fix_last"}
         self.net = net
         self.n_timesteps = int(n_timesteps)
-        # sample_shape comes in reference (C, H, W) order from the YAMLs;
-        # convert to NHWC internally.
-        c, h, w = sample_shape
-        self.sample_shape = (h, w, c)
+        # image sample_shape comes in reference (C, H, W) order from the
+        # YAMLs -> NHWC internally; non-image shapes (e.g. (2,) for the 2D
+        # experiment) pass through unchanged.
+        if len(sample_shape) == 3:
+            c, h, w = sample_shape
+            self.sample_shape = (h, w, c)
+        else:
+            self.sample_shape = tuple(sample_shape)
         self.trainable_beta = trainable_beta
         self.schedule: VarSchedule = var_schedule(
             self.n_timesteps, schedule,
@@ -122,16 +126,17 @@ class VARSampler:
         tau = jnp.take(sch.tau, t)
         eps = self._net_apply(params, x, tau, train=train, dropout_rng=dropout_rng)
 
-        x_mult = jnp.take(sch.x_mult, t)[:, None, None, None]
-        eps_mult = jnp.take(sch.eps_mult, t)[:, None, None, None]
+        bshape = (-1,) + (1,) * (x.ndim - 1)
+        x_mult = jnp.take(sch.x_mult, t).reshape(bshape)
+        eps_mult = jnp.take(sch.eps_mult, t).reshape(bshape)
         control = eps_mult * eps
         mean = x * x_mult + control
 
         sigma = jnp.take(self.sigmas_all(params), t)
         noise = jax.random.normal(key, x.shape, dtype=x.dtype)
-        sample = mean + sigma[:, None, None, None] * noise
+        sample = mean + sigma.reshape(bshape) * noise
 
-        logp = gaussian_logp_mean(sample, mean, sigma[:, None, None, None])
+        logp = gaussian_logp_mean(sample, mean, sigma.reshape(bshape))
         entropy = jnp.log(sigma)
         return {
             "sample": sample,
@@ -220,7 +225,8 @@ class VARSampler:
         tau = jnp.take(sch.tau, t)
         eps = self._net_apply({"net": params["net"]}, x_prev, tau,
                               train=False, dropout_rng=None)
-        mean = x_prev * jnp.take(sch.x_mult, t)[:, None, None, None] \
-            + jnp.take(sch.eps_mult, t)[:, None, None, None] * eps
-        std = jnp.take(sch.init_sigma, t)[:, None, None, None]
+        bshape = (-1,) + (1,) * (x_prev.ndim - 1)
+        mean = x_prev * jnp.take(sch.x_mult, t).reshape(bshape) \
+            + jnp.take(sch.eps_mult, t).reshape(bshape) * eps
+        std = jnp.take(sch.init_sigma, t).reshape(bshape)
         return gaussian_logp_mean(x_next, mean, std)

@@ -1,0 +1,252 @@
+"""Offline sample evaluator: FID, sFID, Inception Score, Precision, Recall.
+
+Capability parity with /root/reference/evaluations/evaluator.py (the
+openai/guided-diffusion TF1-graph evaluator used for the paper's official
+numbers) — re-built TPU-native on the Flax FID Inception:
+
+  * FID      — pool3 (2048-d) Frechet distance,
+  * sFID     — spatial features: first 7 channels of the Mixed_6e (17x17)
+               map, flattened to 2023-d (evaluator.py:23-24),
+  * IS       — exp(E KL(p(y|x) || p(y))) from the 1008-way logits head,
+  * Prec/Rec — kNN-radius manifold estimation (k=3), batched pairwise
+               distances (evaluator.py:205-360).
+
+CLI (same shape as the reference's):
+    python evaluations/evaluator.py ref_batch.npz sample_batch.npz
+
+npz format: ``arr_0`` uint8 (N, H, W, 3). Reference batches may instead
+carry precomputed statistics (``mu``/``sigma`` [+ ``mu_s``/``sigma_s``]).
+
+NOTE: numbers are comparable across models evaluated with THIS evaluator;
+absolute parity with the TF1 graph requires the published pt/TF weights
+(converted via ``dxmi_tpu.fid.inception.load_fid_inception_params``).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+# ---------------------------------------------------------------------------
+# feature extraction
+# ---------------------------------------------------------------------------
+
+
+def build_extractors(weights_path=None, batch=100):
+    """Returns extract(x01_nhwc) -> dict(pool3, spatial, logits?)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dxmi_tpu.fid.inception import (InceptionV3FID,
+                                        load_fid_inception_params,
+                                        random_fid_inception_params)
+
+    class WithTaps(InceptionV3FID):
+        def __call__(self, x):  # type: ignore[override]
+            import flax.linen as nn
+
+            # replicate parent forward but tap Mixed_6e
+            if self.resize_input:
+                B, H, W, C = x.shape
+                x = jax.image.resize(x, (B, 299, 299, C), method="bilinear")
+            if self.normalize_input:
+                x = 2.0 * x - 1.0
+            from dxmi_tpu.fid import inception as I
+
+            x = I.ConvBN(32, (3, 3), strides=(2, 2), name="Conv2d_1a_3x3")(x)
+            x = I.ConvBN(32, (3, 3), name="Conv2d_2a_3x3")(x)
+            x = I.ConvBN(64, (3, 3), padding=((1, 1), (1, 1)), name="Conv2d_2b_3x3")(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2))
+            x = I.ConvBN(80, (1, 1), name="Conv2d_3b_1x1")(x)
+            x = I.ConvBN(192, (3, 3), name="Conv2d_4a_3x3")(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2))
+            x = I.InceptionA(32, name="Mixed_5b")(x)
+            x = I.InceptionA(64, name="Mixed_5c")(x)
+            x = I.InceptionA(64, name="Mixed_5d")(x)
+            x = I.InceptionB(name="Mixed_6a")(x)
+            x = I.InceptionC(128, name="Mixed_6b")(x)
+            x = I.InceptionC(160, name="Mixed_6c")(x)
+            x = I.InceptionC(160, name="Mixed_6d")(x)
+            x = I.InceptionC(192, name="Mixed_6e")(x)
+            spatial = x  # (B, 17, 17, 768)
+            x = I.InceptionD(name="Mixed_7a")(x)
+            x = I.InceptionE("avg", name="Mixed_7b")(x)
+            x = I.InceptionE("max", name="Mixed_7c")(x)
+            pool3 = jnp.mean(x, axis=(1, 2))
+            # sFID uses the first 7 channels of the spatial map
+            sp = spatial[..., :7].reshape(spatial.shape[0], -1)
+            return {"pool3": pool3, "spatial": sp}
+
+    model = WithTaps()
+    fc = None
+    if weights_path and os.path.exists(weights_path):
+        params = load_fid_inception_params(weights_path)
+        # optional logits head for IS
+        if weights_path.endswith(".npz"):
+            raw = dict(np.load(weights_path))
+        else:
+            import torch
+
+            t = torch.load(weights_path, map_location="cpu", weights_only=False)
+            raw = {k: v.numpy() for k, v in
+                   (t.state_dict() if hasattr(t, "state_dict") else t).items()}
+        if "fc.weight" in raw:
+            fc = (np.asarray(raw["fc.weight"], np.float32).T,
+                  np.asarray(raw["fc.bias"], np.float32))
+    else:
+        print("WARNING: FID Inception weights not found — using random "
+              "weights; metrics are NOT comparable to published numbers")
+        params = random_fid_inception_params(jax.random.key(0))
+
+    @jax.jit
+    def _extract(x01):
+        return model.apply({"params": params}, x01)
+
+    def extract(x01):
+        out = {k: np.asarray(v) for k, v in _extract(jnp.asarray(x01)).items()}
+        if fc is not None:
+            logits = out["pool3"] @ fc[0] + fc[1]
+            e = np.exp(logits - logits.max(axis=1, keepdims=True))
+            out["probs"] = e / e.sum(axis=1, keepdims=True)
+        return out
+
+    return extract
+
+
+def read_npz_images(path):
+    with np.load(path) as d:
+        key = "arr_0" if "arr_0" in d else list(d.keys())[0]
+        return d[key]
+
+
+def npz_has_stats(path):
+    with np.load(path) as d:
+        return "mu" in d
+
+
+def extract_all(path, extract, batch=100):
+    imgs = read_npz_images(path)
+    feats = {"pool3": [], "spatial": [], "probs": []}
+    for i in range(0, len(imgs), batch):
+        x = imgs[i:i + batch].astype(np.float32) / 255.0
+        out = extract(x)
+        for k in feats:
+            if k in out:
+                feats[k].append(out[k])
+    return {k: np.concatenate(v) for k, v in feats.items() if v}
+
+
+# ---------------------------------------------------------------------------
+# metrics
+# ---------------------------------------------------------------------------
+
+
+def inception_score(probs: np.ndarray, split_size: int = 5000) -> float:
+    scores = []
+    for i in range(0, len(probs), split_size):
+        part = probs[i:i + split_size]
+        kl = part * (np.log(part + 1e-12) - np.log(part.mean(0, keepdims=True) + 1e-12))
+        scores.append(float(np.exp(kl.sum(1).mean())))
+    return float(np.mean(scores))
+
+
+class ManifoldEstimator:
+    """kNN-radius manifold estimation for improved precision/recall
+    (evaluator.py:205-360 semantics; k=3)."""
+
+    def __init__(self, nhood_size: int = 3, row_batch: int = 10000,
+                 col_batch: int = 10000):
+        self.k = nhood_size
+        self.row_batch = row_batch
+        self.col_batch = col_batch
+
+    def _pairwise_d2(self, a, b):
+        return (np.sum(a**2, 1)[:, None] + np.sum(b**2, 1)[None]
+                - 2 * a @ b.T).clip(0)
+
+    def manifold_radii(self, feats: np.ndarray) -> np.ndarray:
+        n = len(feats)
+        radii = np.zeros(n, dtype=np.float64)
+        for i in range(0, n, self.row_batch):
+            rows = feats[i:i + self.row_batch]
+            d_row = np.full((len(rows), n), np.inf)
+            for j in range(0, n, self.col_batch):
+                cols = feats[j:j + self.col_batch]
+                d_row[:, j:j + len(cols)] = self._pairwise_d2(rows, cols)
+            # k-th smallest EXCLUDING self (distance 0 at the diagonal)
+            part = np.partition(d_row, self.k, axis=1)
+            radii[i:i + len(rows)] = part[:, self.k]
+        return radii
+
+    def evaluate(self, feats_a, radii_a, feats_b) -> float:
+        """Fraction of feats_b inside the manifold of feats_a."""
+        inside = np.zeros(len(feats_b), dtype=bool)
+        for j in range(0, len(feats_b), self.row_batch):
+            rows = feats_b[j:j + self.row_batch]
+            for i in range(0, len(feats_a), self.col_batch):
+                cols = feats_a[i:i + self.col_batch]
+                d2 = self._pairwise_d2(rows, cols)
+                inside[j:j + len(rows)] |= (
+                    d2 <= radii_a[i:i + len(cols)][None, :]).any(axis=1)
+        return float(inside.mean())
+
+
+def compute_prec_recall(ref_feats, sample_feats, k=3):
+    est = ManifoldEstimator(k)
+    radii_ref = est.manifold_radii(ref_feats)
+    radii_sample = est.manifold_radii(sample_feats)
+    precision = est.evaluate(ref_feats, radii_ref, sample_feats)
+    recall = est.evaluate(sample_feats, radii_sample, ref_feats)
+    return precision, recall
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("ref_batch")
+    p.add_argument("sample_batch")
+    p.add_argument("--weights", default=None,
+                   help="pt_inception-2015-12-05 weights (.pth or .npz)")
+    p.add_argument("--batch", type=int, default=100)
+    args = p.parse_args()
+
+    from dxmi_tpu.fid import runner as fid_runner
+    from dxmi_tpu.fid import stats as S
+
+    weights = args.weights or fid_runner._find(fid_runner.DEFAULT_WEIGHTS)
+    extract = build_extractors(weights, args.batch)
+
+    print("computing sample batch activations...")
+    sample = extract_all(args.sample_batch, extract, args.batch)
+    print("computing/loading reference batch statistics...")
+    if npz_has_stats(args.ref_batch):
+        with np.load(args.ref_batch) as d:
+            ref_stats = (d["mu"], d["sigma"])
+            ref_stats_spatial = ((d["mu_s"], d["sigma_s"])
+                                 if "mu_s" in d else None)
+            ref_feats = None
+    else:
+        ref = extract_all(args.ref_batch, extract, args.batch)
+        ref_stats = S.activation_statistics(ref["pool3"])
+        ref_stats_spatial = S.activation_statistics(ref["spatial"])
+        ref_feats = ref
+
+    if "probs" in sample:
+        print("Inception Score:", inception_score(sample["probs"]))
+    m1, s1 = S.activation_statistics(sample["pool3"])
+    print("FID:", S.frechet_distance(m1, s1, *ref_stats))
+    if ref_stats_spatial is not None:
+        m1s, s1s = S.activation_statistics(sample["spatial"])
+        print("sFID:", S.frechet_distance(m1s, s1s, *ref_stats_spatial))
+    if ref_feats is not None:
+        prec, rec = compute_prec_recall(ref_feats["pool3"], sample["pool3"])
+        print("Precision:", prec)
+        print("Recall:", rec)
+
+
+if __name__ == "__main__":
+    main()

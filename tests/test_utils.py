@@ -1,0 +1,144 @@
+"""Tests for config, data, logging, checkpoint, metrics, and RNG utils."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dxmi_tpu import config as C
+from dxmi_tpu import rng as R
+from dxmi_tpu.data import synthetic
+from dxmi_tpu.data.cifar10 import EpochLoader, fake_cifar
+from dxmi_tpu.utils import checkpoint as ckpt
+from dxmi_tpu.utils import metrics as M
+from dxmi_tpu.utils.logging import expand_metrics, make_grid
+
+
+def test_cli_parsing():
+    d = C.parse_unknown_args(["--training.lr", "1e-6", "--a.b.c", "5",
+                              "--flag", "True", "--name", "x",
+                              "--lst", "[1,2]", "--none", "None"])
+    n = C.parse_nested_args(d)
+    assert n["training"]["lr"] == 1e-6
+    assert n["a"]["b"]["c"] == 5
+    assert n["flag"] is True
+    assert n["name"] == "x"
+    assert n["lst"] == [1, 2]
+    assert n["none"] is None
+
+
+def test_config_merge_and_yaml(tmp_path):
+    a = C.Config.from_dict({"x": {"y": 1, "z": 2}, "k": 1})
+    b = C.Config.from_dict({"x": {"y": 9}})
+    m = C.merge(a, b)
+    assert m["x"]["y"] == 9 and m["x"]["z"] == 2 and m["k"] == 1
+    assert m.x.y == 9  # attribute access
+    p = tmp_path / "c.yaml"
+    C.save_yaml(m, str(p))
+    assert C.load_yaml(str(p))["x"]["y"] == 9
+
+
+def test_instantiate_with_alias():
+    cfg = {"_target_": "models.modules.IGEBMEncoderV2", "nh": 8,
+           "keepdim": False}
+    obj = C.instantiate(cfg)
+    from dxmi_tpu.models.igebm import IGEBMEncoder
+
+    assert isinstance(obj, IGEBMEncoder)
+    assert obj.nh == 8
+
+
+def test_epoch_loader_sharding():
+    ds = fake_cifar(64)
+    loaders = [EpochLoader(ds, batch_size=8, seed=1, process_index=i,
+                           process_count=2) for i in range(2)]
+    seen = []
+    for ld in loaders:
+        for x, y in ld.epoch(0):
+            assert x.shape == (8, 32, 32, 3)
+            assert x.min() >= 0 and x.max() <= 1
+            seen.append(y)
+    # two processes x 4 batches each, disjoint shards covering 64 rows
+    assert len(seen) == 8
+
+
+def test_synthetic_2d():
+    for name in ("8gaussians", "2spirals", "checkerboard"):
+        x = synthetic.sample2d(name, 128, np.random.RandomState(0))
+        assert x.shape == (128, 2)
+    pdf = synthetic.pdf_8gaussian(
+        synthetic.sample2d("8gaussians", 512, np.random.RandomState(1)))
+    assert np.all(pdf > 0)
+    e = synthetic.energy2d("U2", np.random.RandomState(2).randn(16, 2))
+    assert np.isfinite(e).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = {"a": np.arange(6, dtype=np.float32).reshape(2, 3),
+              "b": {"c": np.ones(4)}}
+    path = str(tmp_path / "x.msgpack")
+    ckpt.save_checkpoint(path, params, meta={"fid": 3.25, "epoch": 7})
+    back = ckpt.load_checkpoint(path)
+    np.testing.assert_allclose(back["params"]["a"], params["a"])
+    assert back["meta"]["fid"] == 3.25
+
+
+def test_expand_metrics():
+    m = {"ebm/d_loss_": jnp.asarray(1.5),
+         "per_step/t": jnp.array([2, 1, 0]),
+         "per_step/running_cost": jnp.array([0.1, 0.2, 0.3]),
+         "per_step/value": jnp.array([1.0, 2.0, 3.0]),
+         "per_step/sigma": jnp.array([0.5, 0.6])}
+    d = expand_metrics(m)
+    assert d["ebm/d_loss_"] == 1.5
+    assert d["running_cost/step_2_"] == pytest.approx(0.1)
+    assert d["value/step_0_"] == pytest.approx(3.0)
+    assert d["sigma/sigma_1_"] == pytest.approx(0.6)
+
+
+def test_make_grid():
+    imgs = np.zeros((10, 8, 8, 3), np.float32)
+    g = make_grid(imgs, nrow=4)
+    assert g.shape == (3 * 10 + 2, 4 * 10 + 2, 3)
+
+
+def test_auroc_aupr():
+    scores = np.array([0.9, 0.8, 0.7, 0.3, 0.2, 0.1])
+    labels = np.array([1, 1, 0, 1, 0, 0])
+    try:
+        from sklearn import metrics as skm
+
+        assert M.roc_auc(scores, labels) == pytest.approx(
+            skm.roc_auc_score(labels, scores))
+        assert M.average_precision(scores, labels) == pytest.approx(
+            skm.average_precision_score(labels, scores))
+    except ImportError:
+        assert 0.5 < M.roc_auc(scores, labels) <= 1.0
+
+
+def test_deterministic_rng_batch_invariance():
+    base = jax.random.key(7)
+    full = R.deterministic_randn(base, 0, 8, (4,))
+    first = R.deterministic_randn(base, 0, 3, (4,))
+    rest = R.deterministic_randn(base, 3, 5, (4,))
+    np.testing.assert_allclose(np.asarray(full),
+                               np.concatenate([first, rest]), rtol=1e-6)
+
+
+def test_evaluator_prec_recall_sanity():
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from evaluations.evaluator import compute_prec_recall, inception_score
+
+    rng = np.random.RandomState(0)
+    a = rng.randn(200, 8)
+    # identical distributions -> precision/recall near 1
+    p, r = compute_prec_recall(a, a + rng.randn(200, 8) * 0.01)
+    assert p > 0.9 and r > 0.9
+    # disjoint -> near 0
+    p2, r2 = compute_prec_recall(a, a + 100.0)
+    assert p2 < 0.1 and r2 < 0.1
+    # uniform probs -> IS == 1
+    probs = np.full((100, 10), 0.1)
+    assert inception_score(probs) == pytest.approx(1.0, abs=1e-5)
