@@ -49,16 +49,18 @@ def adm_timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0
 
 
 class GroupNormADM(nn.Module):
-    """fp32 GroupNorm(32) (the reference's GroupNorm32, cm/nn.py:19-21)."""
+    """fp32 GroupNorm(32) (the reference's GroupNorm32, cm/nn.py:19-21),
+    backed by the fused Pallas kernel on TPU; ``silu=True`` folds the
+    following SiLU into the same pass."""
 
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        out = nn.GroupNorm(num_groups=32, epsilon=self.eps, dtype=jnp.float32,
-                           name="gn")(x.astype(jnp.float32))
-        return out.astype(self.dtype)
+    def __call__(self, x, silu: bool = False):
+        from dxmi_tpu.models.unet_small import _GNParams
+
+        return _GNParams(32, self.eps, silu, name="gn")(x).astype(self.dtype)
 
 
 def zeros_init(key, shape, dtype=jnp.float32):
@@ -79,8 +81,7 @@ class ResBlockADM(nn.Module):
     @nn.compact
     def __call__(self, x, emb, *, deterministic: bool = True):
         in_ch = x.shape[-1]
-        h = GroupNormADM(dtype=self.dtype, name="in_layers_0")(x)
-        h = jax.nn.silu(h)
+        h = GroupNormADM(dtype=self.dtype, name="in_layers_0")(x, silu=True)
         if self.up:
             h = _upsample2x(h)
             x = _upsample2x(x)
@@ -102,6 +103,7 @@ class ResBlockADM(nn.Module):
         else:
             h = h + emb_out
             h = GroupNormADM(dtype=self.dtype, name="out_layers_0")(h)
+        # (scale-shift keeps GN and SiLU separate — FiLM sits between)
         h = jax.nn.silu(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,

@@ -53,23 +53,42 @@ def swish(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(x)
 
 
+class _GNParams(nn.Module):
+    """Holds the affine params under a child scope named 'gn' so the param
+    tree matches nn.GroupNorm's (<mod>/gn/{scale,bias}) for the
+    torch->flax converter."""
+
+    num_groups: int
+    eps: float
+    silu: bool
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from dxmi_tpu.ops.groupnorm import fused_group_norm
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        return fused_group_norm(x, scale, bias, self.num_groups, self.eps,
+                                self.silu)
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm with statistics in fp32 regardless of compute dtype
     (the reference's large model relies on fp32 GN, cm/nn.py:19-21; the
     small model uses default GN — fp32 stats are a strict improvement and
-    bit-compatible in fp32 mode)."""
+    bit-compatible in fp32 mode).
+
+    ``silu=True`` fuses the following SiLU into the same kernel (one VMEM
+    pass on TPU via the Pallas kernel in dxmi_tpu/ops/groupnorm.py)."""
 
     num_groups: int = 32
     eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        orig_dtype = x.dtype
-        x = x.astype(jnp.float32)
-        out = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps,
-                           dtype=jnp.float32, name="gn")(x)
-        return out.astype(orig_dtype)
+    def __call__(self, x: jnp.ndarray, silu: bool = False) -> jnp.ndarray:
+        return _GNParams(self.num_groups, self.eps, silu, name="gn")(x)
 
 
 class ResnetBlock(nn.Module):
@@ -80,15 +99,13 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         in_channels = x.shape[-1]
-        h = GroupNorm32(dtype=self.dtype, name="norm1")(x)
-        h = swish(h)
+        h = GroupNorm32(dtype=self.dtype, name="norm1")(x, silu=True)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
 
         temb_proj = nn.Dense(self.out_channels, dtype=self.dtype, name="temb_proj")(swish(temb))
         h = h + temb_proj[:, None, None, :]
 
-        h = GroupNorm32(dtype=self.dtype, name="norm2")(h)
-        h = swish(h)
+        h = GroupNorm32(dtype=self.dtype, name="norm2")(h, silu=True)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
 
@@ -99,9 +116,13 @@ class ResnetBlock(nn.Module):
 
 class AttnBlock(nn.Module):
     """Single-head self-attention over the flattened feature map
-    (reference unet_small.py:139-191). Softmax in fp32."""
+    (reference unet_small.py:139-191).
+
+    ``softmax_f32`` keeps the softmax in fp32 (parity default); flipping it
+    saves a 2x-sized logits round-trip in bf16 mode."""
 
     dtype: jnp.dtype = jnp.float32
+    softmax_f32: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -112,9 +133,10 @@ class AttnBlock(nn.Module):
         v = nn.Conv(C, (1, 1), dtype=self.dtype, name="v")(h).reshape(B, H * W, C)
 
         scale = C ** -0.5
+        acc = jnp.float32 if self.softmax_f32 else self.dtype
         logits = jnp.einsum("bqc,bkc->bqk", q, k,
-                            preferred_element_type=jnp.float32) * scale
-        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+                            preferred_element_type=acc) * scale
+        w = jax.nn.softmax(logits.astype(acc), axis=-1).astype(self.dtype)
         h = jnp.einsum("bqk,bkc->bqc", w, v).reshape(B, H, W, C)
         h = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_out")(h)
         return x + h
@@ -166,6 +188,7 @@ class UNetSmall(nn.Module):
     in_channels: int = 3
     resolution: int = 32
     dtype: jnp.dtype = jnp.float32
+    softmax_f32: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
@@ -190,7 +213,7 @@ class UNetSmall(nn.Module):
                                 name=f"down_{i_level}_block_{i_block}")(
                     hs[-1], temb, deterministic=deterministic)
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(dtype=self.dtype,
+                    h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32,
                                   name=f"down_{i_level}_attn_{i_block}")(h)
                 hs.append(h)
             if i_level != num_resolutions - 1:
@@ -202,7 +225,7 @@ class UNetSmall(nn.Module):
         h = hs[-1]
         h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype,
                         name="mid_block_1")(h, temb, deterministic=deterministic)
-        h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
+        h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, name="mid_attn_1")(h)
         h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype,
                         name="mid_block_2")(h, temb, deterministic=deterministic)
 
@@ -215,7 +238,7 @@ class UNetSmall(nn.Module):
                     jnp.concatenate([h, hs.pop()], axis=-1), temb,
                     deterministic=deterministic)
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(dtype=self.dtype,
+                    h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32,
                                   name=f"up_{i_level}_attn_{i_block}")(h)
             if i_level != 0:
                 h = Upsample(self.resamp_with_conv, dtype=self.dtype,
@@ -223,8 +246,7 @@ class UNetSmall(nn.Module):
                 curr_res *= 2
         assert not hs
 
-        h = GroupNorm32(dtype=self.dtype, name="norm_out")(h)
-        h = swish(h)
+        h = GroupNorm32(dtype=self.dtype, name="norm_out")(h, silu=True)
         h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
         return h.astype(jnp.float32)
 
@@ -265,7 +287,7 @@ class UNetSmallEncoder(nn.Module):
                                 name=f"down_{i_level}_block_{i_block}")(
                     h, temb, deterministic=deterministic)
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(dtype=self.dtype,
+                    h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32,
                                   name=f"down_{i_level}_attn_{i_block}")(h)
             if i_level != num_resolutions - 1:
                 h = Downsample(self.resamp_with_conv, dtype=self.dtype,
@@ -274,7 +296,7 @@ class UNetSmallEncoder(nn.Module):
 
         h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype,
                         name="mid_block_1")(h, temb, deterministic=deterministic)
-        h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
+        h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, name="mid_attn_1")(h)
         h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype,
                         name="mid_block_2")(h, temb, deterministic=deterministic)
 

@@ -1,0 +1,102 @@
+"""Key-value diagnostics logger (capability parity with the vendored
+openai-baselines logger's live surface, /root/reference/models/cm/logger.py:
+``logkv`` / ``logkv_mean`` / ``dumpkvs`` / ``configure`` with human, CSV
+and JSON writers). The reference uses it for fp16 trainer diagnostics;
+here it backs ad-hoc scalar streams outside the TensorBoard path."""
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import sys
+from collections import defaultdict
+from typing import Any, Dict, Optional
+
+
+class KVLogger:
+    def __init__(self, logdir: Optional[str] = None,
+                 formats: tuple = ("stdout", "csv", "json")):
+        self.logdir = logdir
+        self.name2val: Dict[str, float] = {}
+        self.name2cnt: Dict[str, int] = defaultdict(int)
+        self._csv = self._json = None
+        self._csv_keys = []
+        if logdir:
+            os.makedirs(logdir, exist_ok=True)
+            if "csv" in formats:
+                self._csv = open(os.path.join(logdir, "progress.csv"), "a+")
+            if "json" in formats:
+                self._json = open(os.path.join(logdir, "progress.json"), "a+")
+        self.stdout = "stdout" in formats
+
+    def logkv(self, key: str, val: Any) -> None:
+        self.name2val[key] = val
+
+    def logkv_mean(self, key: str, val: float) -> None:
+        old, cnt = self.name2val.get(key, 0.0), self.name2cnt[key]
+        self.name2val[key] = old * cnt / (cnt + 1) + float(val) / (cnt + 1)
+        self.name2cnt[key] = cnt + 1
+
+    def dumpkvs(self) -> Dict[str, Any]:
+        d = dict(self.name2val)
+        if self.stdout and d:
+            width = max(len(k) for k in d)
+            print("-" * (width + 24))
+            for k in sorted(d):
+                v = d[k]
+                vs = f"{v:<12.5g}" if isinstance(v, float) else str(v)
+                print(f"| {k:<{width}} | {vs:<18} |")
+            print("-" * (width + 24), flush=True)
+        if self._json and d:
+            self._json.write(json.dumps(
+                {k: float(v) if isinstance(v, (int, float)) else str(v)
+                 for k, v in d.items()}) + "\n")
+            self._json.flush()
+        if self._csv and d:
+            new_keys = [k for k in d if k not in self._csv_keys]
+            if new_keys:
+                self._csv_keys.extend(sorted(new_keys))
+                self._csv.seek(0)
+                lines = self._csv.readlines()
+                self._csv.seek(0)
+                self._csv.truncate()
+                self._csv.write(",".join(self._csv_keys) + "\n")
+                for line in lines[1:]:
+                    self._csv.write(line)
+            self._csv.write(",".join(
+                str(d.get(k, "")) for k in self._csv_keys) + "\n")
+            self._csv.flush()
+        self.name2val.clear()
+        self.name2cnt.clear()
+        return d
+
+
+_GLOBAL: Optional[KVLogger] = None
+
+
+def configure(logdir: Optional[str] = None) -> KVLogger:
+    global _GLOBAL
+    if logdir is None:
+        logdir = os.environ.get("DXMI_LOGDIR") or os.path.join(
+            "/tmp", "dxmi-" + datetime.datetime.now().strftime("%Y%m%d-%H%M%S"))
+    _GLOBAL = KVLogger(logdir)
+    return _GLOBAL
+
+
+def get() -> KVLogger:
+    global _GLOBAL
+    if _GLOBAL is None:
+        _GLOBAL = KVLogger(None)
+    return _GLOBAL
+
+
+def logkv(key, val):
+    get().logkv(key, val)
+
+
+def logkv_mean(key, val):
+    get().logkv_mean(key, val)
+
+
+def dumpkvs():
+    return get().dumpkvs()
