@@ -54,10 +54,12 @@ def load_dataset_stats(path: str) -> Tuple[np.ndarray, np.ndarray]:
 
 
 class FIDState:
-    """Cached extractor params + dataset stats."""
+    """Cached extractor params + dataset stats. ``extract_raw`` is the
+    un-jitted apply (composable inside larger jitted programs)."""
 
-    def __init__(self, extract_fn, m2, s2):
+    def __init__(self, extract_fn, m2, s2, extract_raw=None):
         self.extract_fn = extract_fn
+        self.extract_raw = extract_raw
         self.m2 = m2
         self.s2 = s2
 
@@ -68,25 +70,43 @@ def build_fid_state(weights_path: str, stats_path: str) -> FIDState:
     model = InceptionV3FID()
     params = load_fid_inception_params(weights_path)
 
-    @jax.jit
-    def extract(x01):
+    def extract_raw(x01):
         """x01: (B, H, W, C) in [0, 1] -> (B, 2048) pool3 activations."""
         return model.apply({"params": params}, x01)
 
     m2, s2 = load_dataset_stats(stats_path)
-    return FIDState(extract, m2, s2)
+    return FIDState(jax.jit(extract_raw), m2, s2, extract_raw=extract_raw)
 
 
 def compute_fid_from_sampler(sampler, sampler_params, key, fid_state: FIDState,
-                             n_samples: int, batch: int) -> float:
+                             n_samples: int, batch: int,
+                             dispatch_chunk: int = 8) -> float:
+    """Generate + extract activations fully on-device. Generation scans
+    ``dispatch_chunk`` whole trajectories per dispatch (sample_many) so
+    host latency is amortized — the reference instead writes 10k PNGs to
+    disk and re-reads them (train_cifar10.py:386-442)."""
+    from dxmi_tpu.samplers import sample_many
+
     acts = []
     n_batches = int(np.ceil(n_samples / batch))
-    sample_jit = jax.jit(lambda p, k: sampler.sample(p, k, batch)["sample"])
-    for i in range(n_batches):
+
+    @jax.jit
+    def gen_chunk(p, k):
+        xs = sample_many(sampler, p, k, dispatch_chunk, batch)  # (M,B,H,W,C)
+        x01 = jnp.clip((xs + 1.0) / 2.0, 0.0, 1.0)
+        return jax.vmap(fid_state.extract_raw)(x01) \
+            if fid_state.extract_raw is not None else x01
+
+    done = 0
+    while done < n_batches:
         key, k = jax.random.split(key)
-        x = sample_jit(sampler_params, k)           # [-1, 1]
-        x01 = jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
-        acts.append(np.asarray(fid_state.extract_fn(x01)))
+        out = gen_chunk(sampler_params, k)
+        if fid_state.extract_raw is None:
+            for x01 in np.asarray(out):
+                acts.append(np.asarray(fid_state.extract_fn(x01)))
+        else:
+            acts.append(np.asarray(out).reshape(-1, out.shape[-1]))
+        done += dispatch_chunk
     acts = np.concatenate(acts)[:n_samples]
     m1, s1 = stats_lib.activation_statistics(acts)
     return stats_lib.frechet_distance(m1, s1, fid_state.m2, fid_state.s2)

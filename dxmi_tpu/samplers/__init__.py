@@ -12,3 +12,24 @@ The d_step/d_sample dict contracts mirror the reference
 (/root/reference/models/DxMI/var_sampler.py:357-428), with trajectory
 tensors stacked on a leading (T, ...) axis instead of Python lists.
 """
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_many(sampler, params, key, n_batches: int, batch: int, **kw):
+    """Generate ``n_batches`` trajectories' final samples in ONE dispatch
+    (a lax.scan over whole sample() calls). This is the production shape
+    for bulk generation (FID, npz packing): per-call dispatch latency is
+    amortized across n_batches * batch images.
+
+    Returns (n_batches, batch, H, W, C).
+    """
+    keys = jax.random.split(key, n_batches)
+
+    def body(carry, k):
+        return carry, sampler.sample(params, k, batch, **kw)["sample"]
+
+    _, out = jax.lax.scan(body, 0, keys)
+    return out
