@@ -328,3 +328,20 @@ def create_unet_adm(image_size: int, num_channels: int, num_res_blocks: int,
         use_checkpoint=use_checkpoint,
         dtype=dtype,
     )
+
+
+def create_model_and_diffusion(**kwargs):
+    """Factory parity with cm/script_util.create_model_and_diffusion
+    (script_util.py:54-101): returns (UNetADM, KarrasDenoiser)."""
+    from dxmi_tpu.samplers.edm import KarrasDenoiser
+
+    sigma_min = kwargs.pop("sigma_min", 0.002)
+    sigma_max = kwargs.pop("sigma_max", 80.0)
+    weight_schedule = kwargs.pop("weight_schedule", "karras")
+    distillation = kwargs.pop("distillation", False)
+    sigma_data = kwargs.pop("sigma_data", 0.5)
+    model = create_unet_adm(**kwargs)
+    diffusion = KarrasDenoiser(
+        sigma_data=sigma_data, sigma_max=sigma_max, sigma_min=sigma_min,
+        weight_schedule=weight_schedule, distillation=distillation)
+    return model, diffusion

@@ -268,4 +268,56 @@ def karras_sample(diffusion: KarrasDenoiser, net, net_params, key, shape_nhwc,
         x, _ = jax.lax.scan(step, x, (jnp.arange(steps), keys))
         return jnp.clip(x, -1, 1)
 
+    if sampler == "dpm":
+        # DPM-Solver-2-style midpoint stepping in log-sigma space
+        # (reference sample_dpm, karras_diffusion.py:521-560 shape)
+        def step(xc, i):
+            s_i, s_n = sigmas[i], sigmas[i + 1]
+            den = denoise(xc, s_i)
+            d = (xc - den) / s_i
+            sigma_mid = jnp.exp(0.5 * (jnp.log(s_i)
+                                       + jnp.log(jnp.maximum(s_n, 1e-8))))
+
+            def midpoint(_):
+                x_mid = xc + d * (sigma_mid - s_i)
+                den2 = denoise(x_mid, sigma_mid)
+                d2 = (x_mid - den2) / sigma_mid
+                return xc + d2 * (s_n - s_i)
+
+            x_next = jax.lax.cond(s_n == 0.0,
+                                  lambda _: xc + d * (s_n - s_i),
+                                  midpoint, None)
+            return x_next, None
+
+        x, _ = jax.lax.scan(step, x, jnp.arange(steps))
+        return jnp.clip(x, -1, 1)
+
+    if sampler == "multistep":
+        # stochastic iterative sampler over a ts sub-grid
+        # (karras_diffusion.py:665-719 shape); ts defaults to all steps
+        t_min, t_max = sigma_min, sigma_max
+        rho_ = rho
+        keys = jax.random.split(key, steps)
+
+        def t_of(i):
+            return (t_max ** (1 / rho_) + i / max(steps - 1, 1)
+                    * (t_min ** (1 / rho_) - t_max ** (1 / rho_))) ** rho_
+
+        ts_grid = jnp.asarray([t_of(i) for i in range(steps)])
+        x0 = x / jnp.sqrt(1.0 + sigma_max ** 2)
+
+        def step(xc, inputs):
+            i, k = inputs
+            t = ts_grid[i]
+            den = denoise(xc, t)
+            next_t = jnp.clip(ts_grid[jnp.minimum(i + 1, steps - 1)],
+                              t_min, t_max)
+            noise = jax.random.normal(k, xc.shape)
+            x_next = den + noise * jnp.sqrt(
+                jnp.maximum(next_t ** 2 - t_min ** 2, 0.0))
+            return x_next, None
+
+        x, _ = jax.lax.scan(step, x, (jnp.arange(steps), keys))
+        return jnp.clip(x, -1, 1)
+
     raise ValueError(f"unknown sampler: {sampler}")

@@ -103,7 +103,7 @@ def test_karras_sample_smoke():
     net = ConstNet()
     p = net.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)),
                  jnp.zeros((1,)))["params"]
-    for s in ("heun", "euler", "ancestral", "onestep"):
+    for s in ("heun", "euler", "ancestral", "onestep", "dpm", "multistep"):
         out = karras_sample(diff, net, p, jax.random.key(1), (2, 8, 8, 3),
                             steps=4, sampler=s)
         assert out.shape == (2, 8, 8, 3)
