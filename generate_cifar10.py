@@ -41,18 +41,26 @@ def print0(*a, **k):
 class AsyncPNGWriter:
     """Background PNG writer: device keeps sampling while the host encodes
     (replaces the reference's inline save_image loop,
-    generate_cifar10.py:195-209, which is host-I/O bound)."""
+    generate_cifar10.py:195-209, which is host-I/O bound).
+
+    Prefers the native threaded encoder (csrc/dxmi_io.cpp via
+    dxmi_tpu.utils.native_io); falls back to a Python thread pool + PIL."""
 
     def __init__(self, out_dir: str, prefix: str, n_threads: int = 4):
-        from PIL import Image  # noqa: F401
+        from dxmi_tpu.utils import native_io
 
         self.out_dir = out_dir
         self.prefix = prefix
-        self.q: "queue.Queue" = queue.Queue(maxsize=64)
-        self.threads = [threading.Thread(target=self._work, daemon=True)
-                        for _ in range(n_threads)]
-        for t in self.threads:
-            t.start()
+        self.native = native_io.available()
+        self._native_io = native_io
+        if not self.native:
+            from PIL import Image  # noqa: F401
+
+            self.q: "queue.Queue" = queue.Queue(maxsize=64)
+            self.threads = [threading.Thread(target=self._work, daemon=True)
+                            for _ in range(n_threads)]
+            for t in self.threads:
+                t.start()
 
     def _work(self):
         from PIL import Image
@@ -69,9 +77,18 @@ class AsyncPNGWriter:
 
     def put_batch(self, start_idx: int, batch_u8: np.ndarray):
         for j, img in enumerate(batch_u8):
-            self.q.put((start_idx + j, img))
+            path = os.path.join(self.out_dir, f"{self.prefix}_{start_idx + j}.png")
+            if self.native:
+                self._native_io.write_png_async(path, img)
+            else:
+                self.q.put((start_idx + j, img))
 
     def close(self):
+        if self.native:
+            errs = self._native_io.flush()
+            if errs:
+                raise IOError(f"{errs} PNG writes failed")
+            return
         for _ in self.threads:
             self.q.put(None)
         self.q.join()

@@ -157,6 +157,9 @@ def main():
     sample_fn = jax.jit(lambda p, k: sampler.sample(p, k, batchsize))
     grid_fn = jax.jit(lambda p, k: sampler.sample(p, k, 64)["sample"])
 
+    from dxmi_tpu.utils.profiling import PhaseTimer
+
+    timer = PhaseTimer()
     n_critic = int(tr_cfg["n_critic"])
     n_generator = int(tr_cfg["n_generator"])
     log_every = int(tr_cfg["log_every"])
@@ -201,22 +204,30 @@ def main():
             images = shard_batch(mesh, jnp.asarray(images) * 2.0 - 1.0)
 
             key, sk, uk, gk2 = jax.random.split(key, 4)
-            d_sample = sample_fn(state.sampler_params, sk)
-            traj = buflib.from_d_sample(d_sample)
+            with timer.phase("sample"):
+                d_sample = sample_fn(state.sampler_params, sk)
+                traj = buflib.from_d_sample(d_sample)
+                jax.block_until_ready(traj.state)
             pending.append(traj)
-            state, m_energy = trainer.update_f_v(state, images, traj, uk)
+            with timer.phase("update_f_v"):
+                state, m_energy = trainer.update_f_v(state, images, traj, uk)
+                jax.block_until_ready(m_energy["ebm/d_loss_"])
 
             if (step + 1) % n_critic == 0:
                 full = buflib.concat(*pending) if len(pending) > 1 else pending[0]
-                state, m_sampler = trainer.update_sampler(
-                    state, full, gk2, n_generator=n_generator)
+                with timer.phase("update_sampler"):
+                    state, m_sampler = trainer.update_sampler(
+                        state, full, gk2, n_generator=n_generator)
+                    jax.block_until_ready(m_sampler["sampler/sampler_loss_"])
                 pending = []
 
                 if (step + 1) % log_every == 0 and jax.process_index() == 0:
                     d = {**expand_metrics(m_energy), **expand_metrics(m_sampler),
+                         **timer.summary(),
                          "weight_norm/sampler_": weight_norm_of(
                              state.sampler_params),
                          "weight_norm/value_": weight_norm_of(state.v_params)}
+                    timer.reset()
                     logger.log(d, i_iter)
                     sps = (i_iter + 1) / (time.time() - t_start)
                     print0(f"iter {i_iter} d_loss={d['ebm/d_loss_']:.4f} "
