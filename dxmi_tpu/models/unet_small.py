@@ -265,6 +265,7 @@ class UNetSmallEncoder(nn.Module):
     in_channels: int = 3
     resolution: int = 32
     dtype: jnp.dtype = jnp.float32
+    softmax_f32: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:

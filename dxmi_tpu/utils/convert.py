@@ -131,6 +131,35 @@ def convert_unet_small(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return out
 
 
+def convert_unet_small_encoder(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Convert a reference ``UNetEncoder`` (time-dependent value net,
+    unet_small.py:336-443) state dict: the U-Net encoder half plus the
+    pooled head Sequential (out.0 GroupNorm, out.3 1x1 conv)."""
+    state = fix_legacy_dict(state)
+    head = {}
+    rest = {}
+    for k, v in state.items():
+        if k.startswith("out."):
+            head[k] = v
+        else:
+            rest[k] = v
+    out = convert_unet_small(rest)
+    params = out["params"]
+    for k, v in head.items():
+        v = np.asarray(v, dtype=np.float32)
+        if k == "out.0.weight":
+            _set(params, ["out_norm", "scale"], v)
+        elif k == "out.0.bias":
+            _set(params, ["out_norm", "bias"], v)
+        elif k == "out.3.weight":
+            _set(params, ["out_conv", "kernel"], _conv_kernel(v))
+        elif k == "out.3.bias":
+            _set(params, ["out_conv", "bias"], v)
+        else:
+            raise ValueError(f"unhandled head key: {k}")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # IGEBMEncoder (reference models/modules.py checkpoint layout)
 # ---------------------------------------------------------------------------

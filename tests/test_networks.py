@@ -111,6 +111,27 @@ class TestTorchParity:
         ours = np.asarray(ours).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(ours, ref_out, rtol=1e-4, atol=1e-4)
 
+    def test_unet_encoder_forward_parity(self, ref_modules):
+        import torch
+        ref_unet, _ = ref_modules
+        torch.manual_seed(3)
+        tm = ref_unet.UNetEncoder(ch=32, out_ch=1, ch_mult=(1, 2),
+                                  num_res_blocks=1, attn_resolutions=[8],
+                                  dropout=0.0, in_channels=3, resolution=16)
+        tm.eval()
+        x = np.random.RandomState(4).randn(2, 3, 16, 16).astype(np.float32)
+        t = np.array([10.0, 400.0], dtype=np.float32)
+        with torch.no_grad():
+            ref_out = tm(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+
+        flax_params = convert.convert_unet_small_encoder(
+            convert.torch_state_to_numpy(tm.state_dict()))
+        model = UNetSmallEncoder(**dict(TINY, out_ch=1))
+        ours = np.asarray(model.apply(
+            {"params": flax_params["params"]},
+            jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t)))
+        np.testing.assert_allclose(ours, ref_out, rtol=1e-4, atol=1e-4)
+
     def test_igebm_forward_parity(self, ref_modules):
         import torch
         _, ref_mod = ref_modules
