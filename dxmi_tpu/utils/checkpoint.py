@@ -52,6 +52,24 @@ def save_run_checkpoint(logdir: str, postfix: str, *, sampler_params=None,
         save_checkpoint(os.path.join(logdir, f"energy_{postfix}.msgpack"), f_params)
 
 
+def save_checkpoint_orbax(path: str, params: Any) -> None:
+    """Orbax-backed checkpoint (multi-host-safe, sharding-aware). Optional
+    alternative to the msgpack files for large sharded runs."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), params, force=True)
+
+
+def load_checkpoint_orbax(path: str, like: Any = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        if like is not None:
+            return ckptr.restore(os.path.abspath(path), like)
+        return ckptr.restore(os.path.abspath(path))
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a PyTorch checkpoint into a flat numpy state dict (requires the
     baked-in CPU torch; used only for converting published weights)."""

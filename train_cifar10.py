@@ -229,10 +229,13 @@ def main():
                          "weight_norm/value_": weight_norm_of(state.v_params)}
                     timer.reset()
                     logger.log(d, i_iter)
+                    phase_str = " ".join(
+                        f"{k[len('time/'):-len('_ms_')]}={v:.0f}ms"
+                        for k, v in d.items() if k.startswith("time/"))
                     sps = (i_iter + 1) / (time.time() - t_start)
                     print0(f"iter {i_iter} d_loss={d['ebm/d_loss_']:.4f} "
                            f"sampler_loss={d['sampler/sampler_loss_']:.4f} "
-                           f"({sps:.2f} it/s)")
+                           f"({sps:.2f} it/s) {phase_str}")
             i_iter += 1
             if args.max_steps is not None and i_iter >= args.max_steps:
                 break
