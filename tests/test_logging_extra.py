@@ -1,0 +1,52 @@
+"""kvlogger / profiling / checkpoint-orbax tests."""
+import json
+import os
+import time
+
+import numpy as np
+
+
+def test_kvlogger_mean_and_dump(tmp_path):
+    from dxmi_tpu.utils.kvlogger import KVLogger
+
+    kv = KVLogger(str(tmp_path), formats=("csv", "json"))
+    kv.logkv("lr", 1e-4)
+    kv.logkv_mean("loss", 1.0)
+    kv.logkv_mean("loss", 3.0)
+    d = kv.dumpkvs()
+    assert d["loss"] == 2.0
+    kv.logkv("loss", 5.0)
+    kv.logkv("new_key", 7)
+    kv.dumpkvs()
+
+    with open(tmp_path / "progress.json") as f:
+        rows = [json.loads(line) for line in f]
+    assert rows[0]["loss"] == 2.0
+    assert rows[1]["new_key"] == 7
+    csv = (tmp_path / "progress.csv").read_text().splitlines()
+    assert "loss" in csv[0] and "new_key" in csv[0]
+
+
+def test_phase_timer():
+    from dxmi_tpu.utils.profiling import PhaseTimer
+
+    t = PhaseTimer()
+    with t.phase("a"):
+        time.sleep(0.01)
+    with t.phase("a"):
+        time.sleep(0.01)
+    s = t.summary()
+    assert 5 <= s["time/a_ms_"] <= 500
+    t.reset()
+    assert not t.summary()
+
+
+def test_orbax_roundtrip(tmp_path):
+    from dxmi_tpu.utils import checkpoint as C
+
+    tree = {"a": np.arange(6.0).reshape(2, 3), "b": {"c": np.ones(4)}}
+    path = str(tmp_path / "ck")
+    C.save_checkpoint_orbax(path, tree)
+    back = C.load_checkpoint_orbax(path, like=tree)
+    np.testing.assert_allclose(back["a"], tree["a"])
+    np.testing.assert_allclose(back["b"]["c"], tree["b"]["c"])
