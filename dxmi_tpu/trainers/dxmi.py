@@ -36,13 +36,19 @@ from dxmi_tpu.trainers.buffer import TrajectoryBuffer
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class DxMIState:
-    """All trainable state for one DxMI run (a single pytree)."""
+    """All trainable state for one DxMI run (a single pytree).
+
+    ``f_params``/``opt_state_f`` are populated only when a separate energy
+    network is configured (the reference's optional ``f``,
+    trainer.py:136-142); None otherwise (an empty pytree subtree)."""
 
     sampler_params: Any       # {"net": ..., "log_betas": (T,)}
     v_params: Any
     opt_state_sampler: Any
     opt_state_v: Any
     betas_for_q: jnp.ndarray  # (T,) running-cost betas (EMA-updated)
+    f_params: Any = None
+    opt_state_f: Any = None
 
 
 def mean_flat(x: jnp.ndarray) -> jnp.ndarray:
@@ -113,6 +119,7 @@ class DxMITrainer:
 
         self.sampler = None
         self.value = None
+        self.energy = None
         self.guidance_scale: Optional[float] = None
 
     # ------------------------------------------------------------------
@@ -120,14 +127,20 @@ class DxMITrainer:
     # ------------------------------------------------------------------
 
     def set_models(self, sampler, value, lr: float, v_lr: float,
-                   beta_lr: Optional[float] = None) -> None:
+                   beta_lr: Optional[float] = None, energy=None,
+                   f_lr: Optional[float] = None) -> None:
         """Bind the (static) sampler/value modules and build optimizers.
 
         ``log_betas`` gets its own learning rate, replacing the reference's
-        param-group surgery (train_cifar10.py:283-294).
+        param-group surgery (train_cifar10.py:283-294). ``energy`` enables
+        the optional separate energy net ``f`` (trainer.py:240-268,
+        294-300, 371-380).
         """
         self.sampler = sampler
         self.value = value
+        self.energy = energy
+        if energy is not None:
+            self.opt_f = optax.adam(f_lr if f_lr is not None else v_lr)
 
         if beta_lr is None:
             beta_lr = lr
@@ -174,14 +187,20 @@ class DxMITrainer:
             schedule=self.q_beta_schedule, n_timesteps=self.n_timesteps,
             start=self.q_beta_start, end=self.q_beta_end))
 
-    def init_state(self, sampler_params, v_params) -> DxMIState:
+    def init_state(self, sampler_params, v_params, f_params=None) -> DxMIState:
         return DxMIState(
             sampler_params=sampler_params,
             v_params=v_params,
             opt_state_sampler=self.opt_sampler.init(sampler_params),
             opt_state_v=self.opt_v.init(v_params),
             betas_for_q=self.init_betas_for_q(),
+            f_params=f_params,
+            opt_state_f=(self.opt_f.init(f_params)
+                         if f_params is not None else None),
         )
+
+    def _f_apply(self, f_params, x):
+        return self.energy.apply({"params": f_params}, x).squeeze(-1)
 
     # ------------------------------------------------------------------
     # shared pieces
@@ -257,8 +276,11 @@ class DxMITrainer:
             key, akey = jax.random.split(key)
             inputs = self.aug(inputs, akey)
 
-        def energy_loss(v_params):
-            out = self._v_apply(v_params, inputs, t_term, ys)
+        def energy_loss(p):
+            if self.energy is None:
+                out = self._v_apply(p, inputs, t_term, ys)
+            else:
+                out = self._f_apply(p, inputs)
             pos = out[: img.shape[0]]
             neg = out[img.shape[0]:]
             loss = pos.mean() - neg.mean()
@@ -268,10 +290,22 @@ class DxMITrainer:
                 loss = loss + self.gamma * reg
             return loss, (pos.mean(), neg.mean(), reg)
 
-        (d_loss, (pos_e, neg_e, reg)), g = jax.value_and_grad(
-            energy_loss, has_aux=True)(state.v_params)
-        updates, opt_state_v = self.opt_v.update(g, state.opt_state_v, state.v_params)
-        v_params = optax.apply_updates(state.v_params, updates)
+        if self.energy is None:
+            (d_loss, (pos_e, neg_e, reg)), g = jax.value_and_grad(
+                energy_loss, has_aux=True)(state.v_params)
+            updates, opt_state_v = self.opt_v.update(
+                g, state.opt_state_v, state.v_params)
+            v_params = optax.apply_updates(state.v_params, updates)
+            f_params, opt_state_f = state.f_params, state.opt_state_f
+        else:
+            # contrastive step trains f via optimizer_fstar
+            # (trainer.py:240-268); v is untouched here
+            (d_loss, (pos_e, neg_e, reg)), g = jax.value_and_grad(
+                energy_loss, has_aux=True)(state.f_params)
+            updates, opt_state_f = self.opt_f.update(
+                g, state.opt_state_f, state.f_params)
+            f_params = optax.apply_updates(state.f_params, updates)
+            v_params, opt_state_v = state.v_params, state.opt_state_v
 
         # ---- TD sweep: one optimizer step per timestep, backward ----
         # flip so scan index 0 is timestep T-1 (trainer.py:276-327)
@@ -311,6 +345,13 @@ class DxMITrainer:
             # the reference (trainer.py:635,661 passes the img batch's y
             # for sampled states; harmless for class-free value nets)
             v_next = self._v_apply(v_params, next_state, tvec + 1, y)
+            if self.energy is not None:
+                # terminal target uses the separate energy; the reference's
+                # "+ tau2*cost" at trainer.py:297 is dead code (overwritten
+                # at :300) — replicated
+                f_next = self._f_apply(f_params, next_state)
+                term = (tvec == T - 1).astype(jnp.float32)
+                v_next = v_next * (1 - term) + f_next * term
             target = v_next + self._time_cost_terms(tvec)
             if self.velocity_in_value is not None:
                 nt = (tvec < T - self.velocity_in_value).astype(jnp.float32)
@@ -360,6 +401,8 @@ class DxMITrainer:
             opt_state_sampler=state.opt_state_sampler,
             opt_state_v=opt_state_v,
             betas_for_q=betas_for_q,
+            f_params=f_params,
+            opt_state_f=opt_state_f,
         )
         return new_state, metrics
 
@@ -406,6 +449,10 @@ class DxMITrainer:
                 if self.aug is not None:
                     next_state = self.aug(next_state, k_drop)
                 v_term = self._v_apply(state.v_params, next_state, t + 1, yb)
+                if self.energy is not None:
+                    f_term_v = self._f_apply(state.f_params, next_state)
+                    term = (t == T - 1).astype(jnp.float32)
+                    v_term = v_term * (1 - term) + f_term_v * term
                 nt = (t < T - self.skip_sampler_tau).astype(jnp.float32)
                 loss = (v_term + (cost * self.tau2
                                   - causal_entropy * self.tau1) * nt).mean()
@@ -435,6 +482,8 @@ class DxMITrainer:
             opt_state_sampler=opt_state,
             opt_state_v=state.opt_state_v,
             betas_for_q=state.betas_for_q,
+            f_params=state.f_params,
+            opt_state_f=state.opt_state_f,
         )
         return new_state, metrics
 
