@@ -94,8 +94,11 @@ def compute_fid_from_sampler(sampler, sampler_params, key, fid_state: FIDState,
     def gen_chunk(p, k):
         xs = sample_many(sampler, p, k, dispatch_chunk, batch)  # (M,B,H,W,C)
         x01 = jnp.clip((xs + 1.0) / 2.0, 0.0, 1.0)
-        return jax.vmap(fid_state.extract_raw)(x01) \
-            if fid_state.extract_raw is not None else x01
+        if fid_state.extract_raw is None:
+            return x01
+        # sequential map, NOT vmap: Inception at 299^2 on M*B images at
+        # once would need ~10 GB of activations
+        return jax.lax.map(fid_state.extract_raw, x01)
 
     done = 0
     while done < n_batches:

@@ -54,6 +54,25 @@ def shard_batch(mesh: Mesh, tree: Any, batch_axis_index: int = 0,
     return jax.tree.map(put, tree)
 
 
+def global_batch(mesh: Mesh, local_tree: Any, batch_axis_index: int = 0,
+                 axis: str = "data") -> Any:
+    """Assemble per-process local batches into global jax.Arrays sharded on
+    ``axis`` — the multi-host replacement for DistributedSampler+DDP input
+    handling. Single-process: equivalent to shard_batch."""
+    if jax.process_count() == 1:
+        return shard_batch(mesh, local_tree, batch_axis_index, axis)
+
+    def put(a):
+        a = np.asarray(a)
+        spec = [None] * a.ndim
+        if a.ndim > batch_axis_index:
+            spec[batch_axis_index] = axis
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(*spec)), a)
+
+    return jax.tree.map(put, local_tree)
+
+
 def replicate(mesh: Mesh, tree: Any) -> Any:
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)

@@ -55,6 +55,41 @@ def test_newton_schulz_sqrtm():
     np.testing.assert_allclose(root @ root, spd, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
+def test_fid_pipeline_from_sampler():
+    """Full on-device FID pipeline shape (random Inception weights — value
+    not meaningful, plumbing is)."""
+    import flax.linen as nn
+
+    from dxmi_tpu.fid.runner import FIDState, compute_fid_from_sampler
+    from dxmi_tpu.samplers.var import VARSampler
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, t, *, deterministic=True):
+            return nn.Conv(x.shape[-1], (3, 3), padding=1)(x)
+
+    sampler = VARSampler(Tiny(), n_timesteps=4, sample_shape=(3, 8, 8))
+    params = sampler.init_params(jax.random.key(0))
+
+    model = InceptionV3FID()
+    iparams = random_fid_inception_params(jax.random.key(1))
+
+    def extract_raw(x01):
+        return model.apply({"params": iparams}, x01)
+
+    rng = np.random.RandomState(0)
+    ref_acts = rng.randn(64, 2048)
+    m2 = ref_acts.mean(0)
+    s2 = np.cov(ref_acts, rowvar=False) + np.eye(2048) * 1e-3
+    fid_state = FIDState(jax.jit(extract_raw), m2, s2, extract_raw=extract_raw)
+
+    fid = compute_fid_from_sampler(sampler, params, jax.random.key(2),
+                                   fid_state, n_samples=4, batch=2,
+                                   dispatch_chunk=2)
+    assert np.isfinite(fid) and fid > 0
+
+
 def test_statistics_ddof():
     rng = np.random.RandomState(3)
     acts = rng.randn(100, 5)

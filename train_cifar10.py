@@ -29,7 +29,8 @@ import numpy as np
 from dxmi_tpu import config as cfglib
 from dxmi_tpu.config import instantiate
 from dxmi_tpu.data.cifar10 import EpochLoader, fake_cifar, get_dataset
-from dxmi_tpu.parallel import create_mesh, replicate, shard_batch
+from dxmi_tpu.parallel import create_mesh, replicate
+from dxmi_tpu.parallel.mesh import global_batch
 from dxmi_tpu.trainers import buffer as buflib
 from dxmi_tpu.utils import checkpoint as ckptlib
 from dxmi_tpu.utils.logging import BaseLogger, expand_metrics, make_grid, weight_norm_of
@@ -201,7 +202,7 @@ def main():
 
         for step, (images, labels) in enumerate(loader.epoch(epoch)):
             assert images.max() <= 1.0 and images.min() >= 0.0
-            images = shard_batch(mesh, jnp.asarray(images) * 2.0 - 1.0)
+            images = global_batch(mesh, np.asarray(images) * 2.0 - 1.0)
 
             key, sk, uk, gk2 = jax.random.split(key, 4)
             with timer.phase("sample"):

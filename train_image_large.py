@@ -32,7 +32,8 @@ from dxmi_tpu import config as cfglib
 from dxmi_tpu.config import instantiate
 from dxmi_tpu.data.image_folder import load_data
 from dxmi_tpu.models.unet_adm import create_unet_adm
-from dxmi_tpu.parallel import create_mesh, replicate, shard_batch
+from dxmi_tpu.parallel import create_mesh, replicate
+from dxmi_tpu.parallel.mesh import global_batch
 from dxmi_tpu.samplers.edm import EDMSampler, KarrasDenoiser
 from dxmi_tpu.trainers import buffer as buflib
 from dxmi_tpu.utils import checkpoint as ckptlib
@@ -192,8 +193,8 @@ def main():
             logger.log({"FID_": fid, "Best_FID_": best_fid}, i_iter)
 
         x, extra = next(data)
-        x = shard_batch(mesh, jnp.asarray(x))
-        y = (shard_batch(mesh, jnp.asarray(extra["y"]))
+        x = global_batch(mesh, np.asarray(x))
+        y = (global_batch(mesh, np.asarray(extra["y"]))
              if "y" in extra else None)
 
         key, sk, uk, gk = jax.random.split(key, 4)
