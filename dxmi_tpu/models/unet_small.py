@@ -53,6 +53,18 @@ def swish(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(x)
 
 
+
+def _conv(quant: bool, features, kernel_size, dtype, name,
+          strides=(1, 1), padding=1, use_bias=True):
+    """nn.Conv or the int8 QConv (same param tree) per the quant flag."""
+    if quant:
+        from dxmi_tpu.ops.quant import QConv
+
+        return QConv(features, kernel_size, strides=strides, padding=padding,
+                     use_bias=use_bias, dtype=dtype, name=name)
+    return nn.Conv(features, kernel_size, strides=strides, padding=padding,
+                   use_bias=use_bias, dtype=dtype, name=name)
+
 class _GNParams(nn.Module):
     """Holds the affine params under a child scope named 'gn' so the param
     tree matches nn.GroupNorm's (<mod>/gn/{scale,bias}) for the
@@ -95,22 +107,24 @@ class ResnetBlock(nn.Module):
     out_channels: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         in_channels = x.shape[-1]
         h = GroupNorm32(dtype=self.dtype, name="norm1")(x, silu=True)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = _conv(self.quant, self.out_channels, (3, 3), self.dtype, "conv1")(h)
 
         temb_proj = nn.Dense(self.out_channels, dtype=self.dtype, name="temb_proj")(swish(temb))
         h = h + temb_proj[:, None, None, :]
 
         h = GroupNorm32(dtype=self.dtype, name="norm2")(h, silu=True)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = _conv(self.quant, self.out_channels, (3, 3), self.dtype, "conv2")(h)
 
         if in_channels != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
+            x = _conv(self.quant, self.out_channels, (1, 1), self.dtype,
+                      "nin_shortcut", padding=0)(x)
         return x + h
 
 
@@ -123,14 +137,15 @@ class AttnBlock(nn.Module):
 
     dtype: jnp.dtype = jnp.float32
     softmax_f32: bool = True
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, H, W, C = x.shape
         h = GroupNorm32(dtype=self.dtype, name="norm")(x)
-        q = nn.Conv(C, (1, 1), dtype=self.dtype, name="q")(h).reshape(B, H * W, C)
-        k = nn.Conv(C, (1, 1), dtype=self.dtype, name="k")(h).reshape(B, H * W, C)
-        v = nn.Conv(C, (1, 1), dtype=self.dtype, name="v")(h).reshape(B, H * W, C)
+        q = _conv(self.quant, C, (1, 1), self.dtype, "q", padding=0)(h).reshape(B, H * W, C)
+        k = _conv(self.quant, C, (1, 1), self.dtype, "k", padding=0)(h).reshape(B, H * W, C)
+        v = _conv(self.quant, C, (1, 1), self.dtype, "v", padding=0)(h).reshape(B, H * W, C)
 
         scale = C ** -0.5
         acc = jnp.float32 if self.softmax_f32 else self.dtype
@@ -138,13 +153,14 @@ class AttnBlock(nn.Module):
                             preferred_element_type=acc) * scale
         w = jax.nn.softmax(logits.astype(acc), axis=-1).astype(self.dtype)
         h = jnp.einsum("bqk,bkc->bqc", w, v).reshape(B, H, W, C)
-        h = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_out")(h)
+        h = _conv(self.quant, C, (1, 1), self.dtype, "proj_out", padding=0)(h)
         return x + h
 
 
 class Downsample(nn.Module):
     with_conv: bool = True
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -152,21 +168,23 @@ class Downsample(nn.Module):
             # asymmetric (0,1) pad on H and W, then stride-2 VALID conv —
             # mirrors the reference's manual pad (unet_small.py:69-76)
             x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-            return nn.Conv(x.shape[-1], (3, 3), strides=(2, 2), padding="VALID",
-                           dtype=self.dtype, name="conv")(x)
+            return _conv(self.quant, x.shape[-1], (3, 3), self.dtype, "conv",
+                         strides=(2, 2),
+                         padding=((0, 0), (0, 0)) if self.quant else "VALID")(x)
         return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
 
 class Upsample(nn.Module):
     with_conv: bool = True
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, H, W, C = x.shape
         x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
         if self.with_conv:
-            x = nn.Conv(C, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+            x = _conv(self.quant, C, (3, 3), self.dtype, "conv")(x)
         return x
 
 
@@ -189,6 +207,10 @@ class UNetSmall(nn.Module):
     resolution: int = 32
     dtype: jnp.dtype = jnp.float32
     softmax_f32: bool = True
+    # int8 (W8A8) sampling mode: all interior convs run on the int8 MXU
+    # path (2x peak); conv_in/conv_out stay high precision. Inference-only
+    # accuracy/perf trade — see PERF.md roofline and dxmi_tpu/ops/quant.py.
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
@@ -209,39 +231,39 @@ class UNetSmall(nn.Module):
         for i_level in range(num_resolutions):
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks):
-                h = ResnetBlock(block_out, self.dropout, dtype=self.dtype,
+                h = ResnetBlock(block_out, self.dropout, dtype=self.dtype, quant=self.quant_int8,
                                 name=f"down_{i_level}_block_{i_block}")(
                     hs[-1], temb, deterministic=deterministic)
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32,
+                    h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=self.quant_int8,
                                   name=f"down_{i_level}_attn_{i_block}")(h)
                 hs.append(h)
             if i_level != num_resolutions - 1:
-                hs.append(Downsample(self.resamp_with_conv, dtype=self.dtype,
+                hs.append(Downsample(self.resamp_with_conv, dtype=self.dtype, quant=self.quant_int8,
                                      name=f"down_{i_level}_downsample")(hs[-1]))
                 curr_res //= 2
 
         # middle
         h = hs[-1]
-        h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype,
+        h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype, quant=self.quant_int8,
                         name="mid_block_1")(h, temb, deterministic=deterministic)
-        h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, name="mid_attn_1")(h)
-        h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype,
+        h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=self.quant_int8, name="mid_attn_1")(h)
+        h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype, quant=self.quant_int8,
                         name="mid_block_2")(h, temb, deterministic=deterministic)
 
         # decoder with skip concat
         for i_level in reversed(range(num_resolutions)):
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks + 1):
-                h = ResnetBlock(block_out, self.dropout, dtype=self.dtype,
+                h = ResnetBlock(block_out, self.dropout, dtype=self.dtype, quant=self.quant_int8,
                                 name=f"up_{i_level}_block_{i_block}")(
                     jnp.concatenate([h, hs.pop()], axis=-1), temb,
                     deterministic=deterministic)
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32,
+                    h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=self.quant_int8,
                                   name=f"up_{i_level}_attn_{i_block}")(h)
             if i_level != 0:
-                h = Upsample(self.resamp_with_conv, dtype=self.dtype,
+                h = Upsample(self.resamp_with_conv, dtype=self.dtype, quant=self.quant_int8,
                              name=f"up_{i_level}_upsample")(h)
                 curr_res *= 2
         assert not hs
@@ -266,6 +288,7 @@ class UNetSmallEncoder(nn.Module):
     resolution: int = 32
     dtype: jnp.dtype = jnp.float32
     softmax_f32: bool = True
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
@@ -284,21 +307,21 @@ class UNetSmallEncoder(nn.Module):
         for i_level in range(num_resolutions):
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks):
-                h = ResnetBlock(block_out, self.dropout, dtype=self.dtype,
+                h = ResnetBlock(block_out, self.dropout, dtype=self.dtype, quant=self.quant_int8,
                                 name=f"down_{i_level}_block_{i_block}")(
                     h, temb, deterministic=deterministic)
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32,
+                    h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=self.quant_int8,
                                   name=f"down_{i_level}_attn_{i_block}")(h)
             if i_level != num_resolutions - 1:
-                h = Downsample(self.resamp_with_conv, dtype=self.dtype,
+                h = Downsample(self.resamp_with_conv, dtype=self.dtype, quant=self.quant_int8,
                                name=f"down_{i_level}_downsample")(h)
                 curr_res //= 2
 
-        h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype,
+        h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype, quant=self.quant_int8,
                         name="mid_block_1")(h, temb, deterministic=deterministic)
-        h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, name="mid_attn_1")(h)
-        h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype,
+        h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=self.quant_int8, name="mid_attn_1")(h)
+        h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype, quant=self.quant_int8,
                         name="mid_block_2")(h, temb, deterministic=deterministic)
 
         # head: GN -> SiLU -> global average pool -> 1x1 conv -> flatten

@@ -1,0 +1,82 @@
+"""Int8 (W8A8) convolution for quantized sampling.
+
+v5e's MXU runs int8 at 2x the bf16 rate (394 vs 197 TOPS), and PERF.md's
+roofline shows the 2,000 img/s sampling target exceeds the bf16 ceiling
+for the CIFAR U-Net — int8 is the only route. This implements
+post-training dynamic quantization a la Q-Diffusion:
+
+  * weights: per-output-channel symmetric int8 (scales from |w|max),
+  * activations: per-tensor dynamic symmetric int8,
+  * conv accumulates in int32 on the MXU, dequantizes into the compute
+    dtype epilogue (bias add stays fp).
+
+Inference-only (sampling); training always runs bf16/fp32 — the params
+stay fp32, quantization happens in-graph (XLA constant-folds the weight
+quantization only if params are baked; with runtime params it's a cheap
+per-call elementwise pass over the small weight tensors).
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def quantize_per_channel(w: jnp.ndarray, axis: int = -1) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """HWIO kernel -> (int8 kernel, per-out-channel scale)."""
+    red = tuple(i for i in range(w.ndim) if i != (axis % w.ndim))
+    wmax = jnp.max(jnp.abs(w), axis=red, keepdims=True)
+    scale = jnp.maximum(wmax, 1e-8) / 127.0
+    w_i8 = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return w_i8, scale
+
+
+def quantize_per_tensor(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    x_i8 = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                    -127, 127).astype(jnp.int8)
+    return x_i8, scale
+
+
+def int8_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias, strides=(1, 1),
+              padding: Any = ((1, 1), (1, 1)), out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """W8A8 conv with int32 accumulation; x NHWC, kernel HWIO fp."""
+    k_i8, wscale = quantize_per_channel(kernel, axis=-1)
+    x_i8, ascale = quantize_per_tensor(x)
+    acc = jax.lax.conv_general_dilated(
+        x_i8, k_i8, strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * (ascale * wscale.reshape(1, 1, 1, -1))
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
+class QConv(nn.Module):
+    """Drop-in conv with the same parameter tree as nn.Conv ('kernel',
+    'bias') that runs W8A8 on the MXU."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = 1
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, x.shape[-1], self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        return int8_conv(x, kernel, bias, self.strides, pad,
+                         out_dtype=self.dtype)
