@@ -18,7 +18,7 @@ Weight-layout conversion from the reference's PyTorch checkpoints is in
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -54,14 +54,16 @@ def swish(x: jnp.ndarray) -> jnp.ndarray:
 
 
 
-def _conv(quant: bool, features, kernel_size, dtype, name,
+def _conv(quant, features, kernel_size, dtype, name,
           strides=(1, 1), padding=1, use_bias=True):
-    """nn.Conv or the int8 QConv (same param tree) per the quant flag."""
+    """nn.Conv or the int8 QConv (same param tree) per the quant flag
+    (False | True = dynamic ranges | 'static' = calibrated ranges)."""
     if quant:
         from dxmi_tpu.ops.quant import QConv
 
         return QConv(features, kernel_size, strides=strides, padding=padding,
-                     use_bias=use_bias, dtype=dtype, name=name)
+                     use_bias=use_bias, dtype=dtype, name=name,
+                     static_act=(quant == "static"))
     return nn.Conv(features, kernel_size, strides=strides, padding=padding,
                    use_bias=use_bias, dtype=dtype, name=name)
 
@@ -210,7 +212,9 @@ class UNetSmall(nn.Module):
     # int8 (W8A8) sampling mode: all interior convs run on the int8 MXU
     # path (2x peak); conv_in/conv_out stay high precision. Inference-only
     # accuracy/perf trade — see PERF.md roofline and dxmi_tpu/ops/quant.py.
-    quant_int8: bool = False
+    # False | True (dynamic ranges) | "static" (calibrated ranges — run
+    # VARSampler.calibrate_quant first).
+    quant_int8: Any = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:

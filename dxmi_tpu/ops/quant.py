@@ -56,9 +56,37 @@ def int8_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias, strides=(1, 1),
     return out.astype(out_dtype)
 
 
+def int8_conv_static(x, kernel, bias, act_scale, strides=(1, 1),
+                     padding: Any = ((1, 1), (1, 1)),
+                     out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """W8A8 conv with a CALIBRATED activation scale: no per-call range
+    reduction — the quantize is pure elementwise and fuses into the
+    producing op's epilogue."""
+    k_i8, wscale = quantize_per_channel(kernel, axis=-1)
+    x_i8 = jnp.clip(jnp.round(x.astype(jnp.float32) / act_scale),
+                    -127, 127).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        x_i8, k_i8, strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * (act_scale * wscale.reshape(1, 1, 1, -1))
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
 class QConv(nn.Module):
     """Drop-in conv with the same parameter tree as nn.Conv ('kernel',
-    'bias') that runs W8A8 on the MXU."""
+    'bias') that runs W8A8 on the MXU.
+
+    Activation-scale modes:
+      * ``static_act=False`` — dynamic per-tensor quantization each call.
+      * ``static_act=True``  — uses the calibrated ``act_scale`` from the
+        'quant_scales' variable collection. Calibrate by applying the
+        model with ``mutable=['quant_scales']`` on representative inputs
+        (forward stays full-precision during calibration; each QConv
+        records the running max |x| / 127).
+    """
 
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
@@ -66,6 +94,7 @@ class QConv(nn.Module):
     padding: Any = 1
     use_bias: bool = True
     dtype: Any = jnp.bfloat16
+    static_act: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -78,5 +107,21 @@ class QConv(nn.Module):
         pad = self.padding
         if isinstance(pad, int):
             pad = ((pad, pad), (pad, pad))
+
+        if self.static_act:
+            scale_var = self.variable("quant_scales", "act_scale",
+                                      lambda: jnp.zeros((), jnp.float32))
+            if self.is_mutable_collection("quant_scales"):
+                # calibration pass: record range, run full precision
+                amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+                scale_var.value = jnp.maximum(scale_var.value, amax / 127.0)
+                y = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype), kernel.astype(self.dtype),
+                    self.strides, pad,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                return y + bias.astype(self.dtype) if bias is not None else y
+            return int8_conv_static(x, kernel, bias, scale_var.value,
+                                    self.strides, pad, out_dtype=self.dtype)
+
         return int8_conv(x, kernel, bias, self.strides, pad,
                          out_dtype=self.dtype)

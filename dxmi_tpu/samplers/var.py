@@ -151,7 +151,10 @@ class VARSampler:
     def _net_apply(self, params, x, tau, *, train: bool, dropout_rng):
         kwargs = dict(deterministic=not train)
         rngs = {"dropout": dropout_rng} if (train and dropout_rng is not None) else None
-        return self.net.apply({"params": params["net"]}, x, tau, rngs=rngs, **kwargs)
+        variables = {"params": params["net"]}
+        if "quant_scales" in params:  # static-int8 sampling mode
+            variables["quant_scales"] = params["quant_scales"]
+        return self.net.apply(variables, x, tau, rngs=rngs, **kwargs)
 
     # -- full trajectory -----------------------------------------------------
 
@@ -212,6 +215,39 @@ class VARSampler:
             "entropy": traj["entropy"],
             "control": traj["control"],
         }
+
+    # -- int8 static-scale calibration -----------------------------------
+
+    def calibrate_quant(self, params: Dict[str, Any], key: jax.Array,
+                        n_sample: int = 64, n_rounds: int = 2) -> Dict[str, Any]:
+        """Calibrate static activation ranges for a ``quant_int8='static'``
+        net: run full-precision trajectories with the 'quant_scales'
+        collection mutable (each QConv records its running max |x|).
+        Returns params with the calibrated 'quant_scales' attached
+        (inference-only; strip before training)."""
+        x0 = jnp.zeros((1, *self.sample_shape), jnp.float32)
+        scales = self.net.init(jax.random.fold_in(key, 999), x0,
+                               jnp.zeros((1,), jnp.float32))["quant_scales"]
+        sch = self.schedule
+        sigmas = self.sigmas_all(params)
+
+        @jax.jit
+        def calib_step(scales, x, tau):
+            eps, updated = self.net.apply(
+                {"params": params["net"], "quant_scales": scales},
+                x, tau, mutable=["quant_scales"])
+            return eps, updated["quant_scales"]
+
+        for r in range(n_rounds):
+            key, k0 = jax.random.split(key)
+            x = jax.random.normal(k0, (n_sample, *self.sample_shape))
+            for i in range(self.n_timesteps):
+                key, kn = jax.random.split(key)
+                tau = jnp.full((n_sample,), sch.tau[i])
+                eps, scales = calib_step(scales, x, tau)
+                mean = x * sch.x_mult[i] + sch.eps_mult[i] * eps
+                x = mean + sigmas[i] * jax.random.normal(kn, x.shape)
+        return dict(params, quant_scales=scales)
 
     # -- diagnostics ----------------------------------------------------------
 

@@ -152,8 +152,9 @@ class DxMITrainer:
             {"net": self._make_sampler_opt(lr),
              "log_betas": self._make_sampler_opt(beta_lr)},
             param_labels=lambda params: {
-                "net": jax.tree.map(lambda _: "net", params["net"]),
-                "log_betas": "log_betas",
+                k: ("log_betas" if k == "log_betas"
+                    else jax.tree.map(lambda _: "net", v))
+                for k, v in params.items()
             },
         ))
         self.opt_sampler = optax.chain(*chain)
