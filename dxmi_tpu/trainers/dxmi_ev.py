@@ -49,8 +49,10 @@ class DxMITrainerEV(DxMITrainer):
 
     def set_models(self, sampler, value, energy, lr, v_lr, f_lr,
                    beta_lr=None):
-        self.energy = energy
         super().set_models(sampler, value, lr, v_lr, beta_lr)
+        # assign AFTER super(): the base resets self.energy (its optional
+        # f-mode is unused here — EV has its own update programs)
+        self.energy = energy
         self.opt_f = optax.chain(optax.clip_by_global_norm(0.1),
                                  optax.adam(f_lr))
         self._jit_update_f_v_ev = jax.jit(self._update_f_v_ev_impl)
