@@ -150,3 +150,19 @@ class TestTorchParity:
         ours = np.asarray(model.apply(flax_params,
                                       jnp.asarray(x.transpose(0, 2, 3, 1))))
         np.testing.assert_allclose(ours, ref_out, rtol=1e-4, atol=1e-4)
+
+
+def test_igebm_spectral_norm_paths():
+    """Spectral-norm variant: init creates 'sn_stats'; inference and
+    power-iteration-updating applies both work. (Trainer threading of
+    sn_stats is a documented round-1 gap — all shipped configs disable
+    spectral norm.)"""
+    m = IGEBMEncoder(nh=8, keepdim=False, use_spectral_norm=True)
+    x = jnp.ones((2, 16, 16, 3))
+    vs = m.init(jax.random.key(0), x)
+    assert "sn_stats" in vs
+    out = m.apply({"params": vs["params"], "sn_stats": vs["sn_stats"]}, x)
+    assert out.shape == (2, 1)
+    out2, upd = m.apply({"params": vs["params"], "sn_stats": vs["sn_stats"]},
+                        x, update_sn_stats=True, mutable=["sn_stats"])
+    assert out2.shape == (2, 1) and "sn_stats" in upd
