@@ -59,17 +59,30 @@ def int8_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias, strides=(1, 1),
 def int8_conv_static(x, kernel, bias, act_scale, strides=(1, 1),
                      padding: Any = ((1, 1), (1, 1)),
                      out_dtype=jnp.bfloat16) -> jnp.ndarray:
-    """W8A8 conv with a CALIBRATED activation scale: no per-call range
+    """W8A8 conv with CALIBRATED activation scales: no per-call range
     reduction — the quantize is pure elementwise and fuses into the
-    producing op's epilogue."""
+    producing op's epilogue.
+
+    ``act_scale`` may be a scalar (per-tensor) or a (C_in,) vector:
+    per-INPUT-channel activation scales fold exactly into the kernel's
+    input axis (y = conv(x/s_c, k * s_c)) — better accuracy at zero
+    runtime cost."""
+    act_scale = jnp.asarray(act_scale, jnp.float32)
+    if act_scale.ndim == 1:
+        kernel = kernel * act_scale.reshape(1, 1, -1, 1)
+        inv = 1.0 / act_scale
+        x_q = x.astype(jnp.float32) * inv
+        out_scale = 1.0
+    else:
+        x_q = x.astype(jnp.float32) / act_scale
+        out_scale = act_scale
     k_i8, wscale = quantize_per_channel(kernel, axis=-1)
-    x_i8 = jnp.clip(jnp.round(x.astype(jnp.float32) / act_scale),
-                    -127, 127).astype(jnp.int8)
+    x_i8 = jnp.clip(jnp.round(x_q), -127, 127).astype(jnp.int8)
     acc = jax.lax.conv_general_dilated(
         x_i8, k_i8, strides, padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
-    out = acc.astype(jnp.float32) * (act_scale * wscale.reshape(1, 1, 1, -1))
+    out = acc.astype(jnp.float32) * (out_scale * wscale.reshape(1, 1, 1, -1))
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.astype(out_dtype)
@@ -109,12 +122,16 @@ class QConv(nn.Module):
             pad = ((pad, pad), (pad, pad))
 
         if self.static_act:
+            c_in = x.shape[-1]
             scale_var = self.variable("quant_scales", "act_scale",
-                                      lambda: jnp.zeros((), jnp.float32))
+                                      lambda: jnp.zeros((c_in,), jnp.float32))
             if self.is_mutable_collection("quant_scales"):
-                # calibration pass: record range, run full precision
-                amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
-                scale_var.value = jnp.maximum(scale_var.value, amax / 127.0)
+                # calibration pass: record PER-INPUT-CHANNEL ranges
+                # (fold into the kernel at inference), run full precision
+                amax = jnp.max(jnp.abs(x.astype(jnp.float32)),
+                               axis=tuple(range(x.ndim - 1)))
+                scale_var.value = jnp.maximum(scale_var.value,
+                                              jnp.maximum(amax / 127.0, 1e-8))
                 y = jax.lax.conv_general_dilated(
                     x.astype(self.dtype), kernel.astype(self.dtype),
                     self.strides, pad,
