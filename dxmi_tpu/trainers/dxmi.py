@@ -21,8 +21,7 @@ Replicated reference quirks (documented, SURVEY.md §7.2):
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -165,8 +165,28 @@ def main():
     n_generator = int(tr_cfg["n_generator"])
     log_every = int(tr_cfg["log_every"])
     fid_epoch = tr_cfg.get("fid_epoch")
+    fid_every = tr_cfg.get("fid_every")
+    assert fid_epoch is None or fid_every is None, \
+        "cannot set both fid_epoch and fid_every (reference train_cifar10.py:251-253)"
     best_fid = float("inf")
     fid_state = None
+
+    def run_fid(tag_iter, epoch_no):
+        nonlocal best_fid, fid_state, key
+        from dxmi_tpu.fid import runner as fid_runner
+
+        key, fk = jax.random.split(key)
+        fid, fid_state = fid_runner.maybe_compute_fid(
+            cfg, sampler, state.sampler_params, fk, fid_state)
+        if fid is not None:
+            print0(f"FID: {fid}")
+            if fid < best_fid:
+                best_fid = fid
+                ckptlib.save_run_checkpoint(
+                    logdir, "best", sampler_params=state.sampler_params,
+                    v_params=state.v_params,
+                    meta={"fid": fid, "epoch": epoch_no, "iter": tag_iter})
+            logger.log({"FID_": fid, "Best_FID_": best_fid}, tag_iter)
 
     i_iter = 0
     t_start = time.time()
@@ -186,23 +206,14 @@ def main():
 
         # periodic FID (only when the real dataset/stats are on disk)
         if fid_epoch is not None and epoch % int(fid_epoch) == 0:
-            from dxmi_tpu.fid import runner as fid_runner
-
-            fid, fid_state = fid_runner.maybe_compute_fid(
-                cfg, sampler, state.sampler_params, key, fid_state)
-            if fid is not None:
-                print0(f"FID: {fid}")
-                if fid < best_fid:
-                    best_fid = fid
-                    ckptlib.save_run_checkpoint(
-                        logdir, "best", sampler_params=state.sampler_params,
-                        v_params=state.v_params,
-                        meta={"fid": fid, "epoch": epoch, "iter": i_iter})
-                logger.log({"FID_": fid, "Best_FID_": best_fid}, i_iter)
+            run_fid(i_iter, epoch)
 
         for step, (images, labels) in enumerate(loader.epoch(epoch)):
             assert images.max() <= 1.0 and images.min() >= 0.0
             images = global_batch(mesh, np.asarray(images) * 2.0 - 1.0)
+
+            if fid_every is not None and i_iter % int(fid_every) == 0:
+                run_fid(i_iter, epoch)
 
             key, sk, uk, gk2 = jax.random.split(key, 4)
             with timer.phase("sample"):
