@@ -31,6 +31,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+if os.environ.get("DXMI_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["DXMI_PLATFORM"])
+
 
 # ---------------------------------------------------------------------------
 # feature extraction
@@ -46,10 +51,11 @@ def build_extractors(weights_path=None, batch=100):
                                         load_fid_inception_params,
                                         random_fid_inception_params)
 
-    class WithTaps(InceptionV3FID):
-        def __call__(self, x):  # type: ignore[override]
-            import flax.linen as nn
+    import flax.linen as nn
 
+    class WithTaps(InceptionV3FID):
+        @nn.compact
+        def __call__(self, x):  # type: ignore[override]
             # replicate parent forward but tap Mixed_6e
             if self.resize_input:
                 B, H, W, C = x.shape

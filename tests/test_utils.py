@@ -142,3 +142,28 @@ def test_evaluator_prec_recall_sanity():
     # uniform probs -> IS == 1
     probs = np.full((100, 10), 0.1)
     assert inception_score(probs) == pytest.approx(1.0, abs=1e-5)
+
+
+@pytest.mark.slow
+def test_evaluator_cli_end_to_end(tmp_path):
+    """Full evaluator pipeline with random Inception weights (values not
+    meaningful; protocol/plumbing is): FID + sFID + P&R over tiny npz
+    batches."""
+    import subprocess
+    import sys as _sys
+
+    rng = np.random.RandomState(0)
+    for name, seed in (("ref.npz", 0), ("sample.npz", 1)):
+        imgs = (np.random.RandomState(seed).rand(8, 32, 32, 3) * 255
+                ).astype(np.uint8)
+        np.savez(tmp_path / name, arr_0=imgs)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable, "evaluations/evaluator.py",
+         str(tmp_path / "ref.npz"), str(tmp_path / "sample.npz"),
+         "--batch", "4"],
+        cwd=repo, capture_output=True, text=True, timeout=1200,
+        env=dict(os.environ, DXMI_PLATFORM="cpu", OMP_NUM_THREADS="1"))
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "FID:" in r.stdout and "sFID:" in r.stdout
+    assert "Precision:" in r.stdout and "Recall:" in r.stdout
