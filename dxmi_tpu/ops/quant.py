@@ -23,6 +23,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+# Calibration range statistic: 1.0 = per-channel max; e.g. 0.999 clips
+# outliers (set before running calibrate_quant)
+CALIB_QUANTILE: float = 1.0
+
 
 def quantize_per_channel(w: jnp.ndarray, axis: int = -1) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """HWIO kernel -> (int8 kernel, per-out-channel scale)."""
@@ -127,9 +131,14 @@ class QConv(nn.Module):
                                       lambda: jnp.zeros((c_in,), jnp.float32))
             if self.is_mutable_collection("quant_scales"):
                 # calibration pass: record PER-INPUT-CHANNEL ranges
-                # (fold into the kernel at inference), run full precision
-                amax = jnp.max(jnp.abs(x.astype(jnp.float32)),
-                               axis=tuple(range(x.ndim - 1)))
+                # (fold into the kernel at inference), run full precision.
+                # CALIB_QUANTILE < 1.0 clips range outliers (Q-Diffusion-
+                # style percentile calibration).
+                xf = jnp.abs(x.astype(jnp.float32)).reshape(-1, x.shape[-1])
+                if CALIB_QUANTILE >= 1.0:
+                    amax = jnp.max(xf, axis=0)
+                else:
+                    amax = jnp.quantile(xf, CALIB_QUANTILE, axis=0)
                 scale_var.value = jnp.maximum(scale_var.value,
                                               jnp.maximum(amax / 127.0, 1e-8))
                 y = jax.lax.conv_general_dilated(
