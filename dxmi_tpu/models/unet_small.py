@@ -105,24 +105,72 @@ class GroupNorm32(nn.Module):
         return _GNParams(self.num_groups, self.eps, silu, name="gn")(x)
 
 
+
+class _GNLeaf(nn.Module):
+    """Bare GN affine params (path <parent>/gn/{scale,bias}) for fused ops."""
+
+    @nn.compact
+    def __call__(self, C: int):
+        return (self.param("scale", nn.initializers.ones, (C,)),
+                self.param("bias", nn.initializers.zeros, (C,)))
+
+
+class _GNHolder(nn.Module):
+    @nn.compact
+    def __call__(self, C: int):
+        return _GNLeaf(name="gn")(C)
+
+
+class _ConvHolder(nn.Module):
+    """Bare conv params (kernel/bias) compatible with nn.Conv's tree."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+
+    @nn.compact
+    def __call__(self, C_in: int):
+        kh, kw = self.kernel_size
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (kh, kw, C_in, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class ResnetBlock(nn.Module):
     out_channels: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     quant: bool = False
+    # fuse GN+SiLU+conv3x3 into one Pallas kernel (dxmi_tpu/ops/conv_fused)
+    fuse_gn_conv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        from dxmi_tpu.ops.conv_fused import fused_gn_silu_conv
+
         in_channels = x.shape[-1]
-        h = GroupNorm32(dtype=self.dtype, name="norm1")(x, silu=True)
-        h = _conv(self.quant, self.out_channels, (3, 3), self.dtype, "conv1")(h)
+        fuse = self.fuse_gn_conv and not self.quant
+        if fuse:
+            gs1, gb1 = _GNHolder(name="norm1")(in_channels)
+            k1, b1 = _ConvHolder(self.out_channels, name="conv1")(in_channels)
+            h = fused_gn_silu_conv(x.astype(self.dtype), gs1, gb1,
+                                   k1, b1, 32, 1e-6)
+        else:
+            h = GroupNorm32(dtype=self.dtype, name="norm1")(x, silu=True)
+            h = _conv(self.quant, self.out_channels, (3, 3), self.dtype, "conv1")(h)
 
         temb_proj = nn.Dense(self.out_channels, dtype=self.dtype, name="temb_proj")(swish(temb))
         h = h + temb_proj[:, None, None, :]
 
-        h = GroupNorm32(dtype=self.dtype, name="norm2")(h, silu=True)
-        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = _conv(self.quant, self.out_channels, (3, 3), self.dtype, "conv2")(h)
+        # the second GN+conv can fuse only when dropout is inactive
+        if fuse and (self.dropout == 0.0 or deterministic):
+            gs2, gb2 = _GNHolder(name="norm2")(self.out_channels)
+            k2, b2 = _ConvHolder(self.out_channels, name="conv2")(self.out_channels)
+            h = fused_gn_silu_conv(h, gs2, gb2, k2, b2, 32, 1e-6)
+        else:
+            h = GroupNorm32(dtype=self.dtype, name="norm2")(h, silu=True)
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = _conv(self.quant, self.out_channels, (3, 3), self.dtype, "conv2")(h)
 
         if in_channels != self.out_channels:
             x = _conv(self.quant, self.out_channels, (1, 1), self.dtype,
@@ -215,6 +263,7 @@ class UNetSmall(nn.Module):
     # False | True (dynamic ranges) | "static" (calibrated ranges — run
     # VARSampler.calibrate_quant first).
     quant_int8: Any = False
+    fuse_gn_conv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
@@ -235,7 +284,7 @@ class UNetSmall(nn.Module):
         for i_level in range(num_resolutions):
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks):
-                h = ResnetBlock(block_out, self.dropout, dtype=self.dtype, quant=self.quant_int8,
+                h = ResnetBlock(block_out, self.dropout, dtype=self.dtype, quant=self.quant_int8, fuse_gn_conv=self.fuse_gn_conv,
                                 name=f"down_{i_level}_block_{i_block}")(
                     hs[-1], temb, deterministic=deterministic)
                 if curr_res in self.attn_resolutions:
@@ -249,17 +298,17 @@ class UNetSmall(nn.Module):
 
         # middle
         h = hs[-1]
-        h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype, quant=self.quant_int8,
+        h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype, quant=self.quant_int8, fuse_gn_conv=self.fuse_gn_conv,
                         name="mid_block_1")(h, temb, deterministic=deterministic)
         h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=self.quant_int8, name="mid_attn_1")(h)
-        h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype, quant=self.quant_int8,
+        h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype, quant=self.quant_int8, fuse_gn_conv=self.fuse_gn_conv,
                         name="mid_block_2")(h, temb, deterministic=deterministic)
 
         # decoder with skip concat
         for i_level in reversed(range(num_resolutions)):
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks + 1):
-                h = ResnetBlock(block_out, self.dropout, dtype=self.dtype, quant=self.quant_int8,
+                h = ResnetBlock(block_out, self.dropout, dtype=self.dtype, quant=self.quant_int8, fuse_gn_conv=self.fuse_gn_conv,
                                 name=f"up_{i_level}_block_{i_block}")(
                     jnp.concatenate([h, hs.pop()], axis=-1), temb,
                     deterministic=deterministic)
@@ -293,6 +342,7 @@ class UNetSmallEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     softmax_f32: bool = True
     quant_int8: bool = False
+    fuse_gn_conv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
@@ -311,7 +361,7 @@ class UNetSmallEncoder(nn.Module):
         for i_level in range(num_resolutions):
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks):
-                h = ResnetBlock(block_out, self.dropout, dtype=self.dtype, quant=self.quant_int8,
+                h = ResnetBlock(block_out, self.dropout, dtype=self.dtype, quant=self.quant_int8, fuse_gn_conv=self.fuse_gn_conv,
                                 name=f"down_{i_level}_block_{i_block}")(
                     h, temb, deterministic=deterministic)
                 if curr_res in self.attn_resolutions:
@@ -322,10 +372,10 @@ class UNetSmallEncoder(nn.Module):
                                name=f"down_{i_level}_downsample")(h)
                 curr_res //= 2
 
-        h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype, quant=self.quant_int8,
+        h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype, quant=self.quant_int8, fuse_gn_conv=self.fuse_gn_conv,
                         name="mid_block_1")(h, temb, deterministic=deterministic)
         h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=self.quant_int8, name="mid_attn_1")(h)
-        h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype, quant=self.quant_int8,
+        h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype, quant=self.quant_int8, fuse_gn_conv=self.fuse_gn_conv,
                         name="mid_block_2")(h, temb, deterministic=deterministic)
 
         # head: GN -> SiLU -> global average pool -> 1x1 conv -> flatten

@@ -58,3 +58,50 @@ def test_bf16_input_fp32_stats():
     # normalized stats despite bf16 I/O
     assert abs(f.mean()) < 0.05
     assert abs(f.std() - 1.0) < 0.1
+
+
+def test_fused_gn_silu_conv_reference_path():
+    """The fused GN+SiLU+conv op (CPU falls back to the XLA composition):
+    correctness vs the explicit sequence + gradients flow."""
+    from dxmi_tpu.ops.conv_fused import (fused_gn_silu_conv,
+                                         gn_silu_conv_reference)
+
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 128))
+    gs = jnp.ones((128,)) * 1.2
+    gb = jnp.zeros((128,)) + 0.1
+    k = jax.random.normal(jax.random.key(1), (3, 3, 128, 128)) * 0.05
+    b = jax.random.normal(jax.random.key(2), (128,)) * 0.1
+
+    out = fused_gn_silu_conv(x, gs, gb, k, b, 32, 1e-6)
+    ref = gn_silu_conv_reference(x, gs, gb, k, b, 32, 1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    g1 = jax.grad(lambda *a: (fused_gn_silu_conv(*a, 32, 1e-6) ** 2).sum(),
+                  argnums=(0, 3))(x, gs, gb, k, b)
+    g2 = jax.grad(lambda *a: (gn_silu_conv_reference(*a, 32, 1e-6) ** 2).sum(),
+                  argnums=(0, 3))(x, gs, gb, k, b)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_unet_fuse_gn_conv_param_tree_compatible():
+    from dxmi_tpu.models.unet_small import UNetSmall
+
+    kw = dict(ch=128, out_ch=3, ch_mult=(1,), num_res_blocks=1,
+              attn_resolutions=(), dropout=0.0, in_channels=3, resolution=8)
+    import jax as _jax
+
+    fp = UNetSmall(**kw)
+    fu = UNetSmall(**kw, fuse_gn_conv=True)
+    x = jnp.zeros((2, 8, 8, 3))
+    t = jnp.array([1.0, 2.0])
+    p1 = fp.init(_jax.random.key(0), x, t)["params"]
+    p2 = fu.init(_jax.random.key(0), x, t)["params"]
+    assert _jax.tree.structure(p1) == _jax.tree.structure(p2)
+    # fused model runs with the unfused model's params (same tree)
+    a = fp.apply({"params": p1}, x, t)
+    b = fu.apply({"params": p1}, x, t)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                               atol=1e-4)
