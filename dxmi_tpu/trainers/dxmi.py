@@ -207,6 +207,10 @@ class DxMITrainer:
     # ------------------------------------------------------------------
 
     def _v_apply(self, v_params, x, t, y=None):
+        # pass y only when present so bare time-dependent nets (e.g.
+        # UNetSmallEncoder) work as values without a wrapper
+        if y is None:
+            return self.value.apply({"params": v_params}, x, t).squeeze(-1)
         return self.value.apply({"params": v_params}, x, t, y).squeeze(-1)
 
     def _running_cost(self, betas_for_q, state, next_state, t):
