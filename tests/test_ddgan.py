@@ -117,3 +117,34 @@ def test_ddgan_trainer_tick():
     state, m2 = tr.update_sampler(state, b, jax.random.key(5))
     assert np.isfinite(float(m1["ebm/d_loss_"]))
     assert np.isfinite(float(m2["sampler/sampler_loss_"]))
+
+
+def test_vp_posterior_vs_float64_torch():
+    """Cross-check the DDGAN VP posterior coefficients against an
+    independent float64 torch derivation of the same published recipe."""
+    torch = pytest.importorskip("torch")
+
+    Tn = 4
+    t = torch.arange(0, Tn + 1, dtype=torch.float64) / Tn
+    t = t * (1 - 1e-3) + 1e-3
+    log_mean = -0.25 * t**2 * (20.0 - 0.1) - 0.5 * t * 0.1
+    var = 1 - torch.exp(2 * log_mean)
+    a_bar = 1 - var
+    betas = 1 - a_bar[1:] / a_bar[:-1]
+    alphas = 1 - betas
+    ab = torch.cumprod(alphas, 0)
+    ab_prev = torch.cat([torch.ones(1, dtype=torch.float64), ab[:-1]])
+    c1 = betas * torch.sqrt(ab_prev) / (1 - ab)
+    c2 = (1 - ab_prev) * torch.sqrt(alphas) / (1 - ab)
+    post_var = betas * (1 - ab_prev) / (1 - ab)
+
+    sch = ddgan_schedule(Tn)
+    order = np.arange(Tn)[::-1]
+    np.testing.assert_allclose(np.asarray(sch.x0_coef),
+                               c1.numpy()[order], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sch.xt_coef),
+                               c2.numpy()[order], rtol=1e-5)
+    std = np.sqrt(np.clip(post_var.numpy(), 0, None))
+    std[0] = 0.0
+    np.testing.assert_allclose(np.asarray(sch.sigma_q), std[order],
+                               rtol=1e-5, atol=1e-8)
