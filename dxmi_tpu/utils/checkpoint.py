@@ -52,6 +52,43 @@ def save_run_checkpoint(logdir: str, postfix: str, *, sampler_params=None,
         save_checkpoint(os.path.join(logdir, f"energy_{postfix}.msgpack"), f_params)
 
 
+def save_train_state(logdir: str, state: Any, *, i_iter: int, epoch: int,
+                     best_fid: float = float("inf"),
+                     name: str = "train_state.msgpack") -> None:
+    """Serialize the FULL training state (params + optimizer states +
+    betas_for_q) for preemption-safe resume (SURVEY.md §5: the reference
+    is save-only with no optimizer-state resume)."""
+    from flax import serialization as ser
+
+    leaves = [np.asarray(x) for x in jax.tree.leaves(state)]
+    payload = {
+        "leaves": {str(i): a for i, a in enumerate(leaves)},
+        "meta": {"i_iter": int(i_iter), "epoch": int(epoch),
+                 "best_fid": float(best_fid)},
+    }
+    tmp = os.path.join(logdir, name + ".tmp")
+    with open(tmp, "wb") as f:
+        f.write(ser.msgpack_serialize(payload))
+    os.replace(tmp, os.path.join(logdir, name))
+
+
+def load_train_state(logdir: str, state_template: Any,
+                     name: str = "train_state.msgpack"):
+    """Restore (state, meta) from a save_train_state file; the template
+    provides the pytree structure (e.g. trainer.init_state(...))."""
+    from flax import serialization as ser
+
+    with open(os.path.join(logdir, name), "rb") as f:
+        payload = ser.msgpack_restore(f.read())
+    treedef = jax.tree.structure(state_template)
+    leaves = [payload["leaves"][str(i)]
+              for i in range(len(payload["leaves"]))]
+    assert len(leaves) == treedef.num_leaves, \
+        "saved state does not match the current trainer configuration"
+    state = jax.tree.unflatten(treedef, leaves)
+    return state, payload["meta"]
+
+
 def save_checkpoint_orbax(path: str, params: Any) -> None:
     """Orbax-backed checkpoint (multi-host-safe, sharding-aware). Optional
     alternative to the msgpack files for large sharded runs."""

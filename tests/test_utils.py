@@ -167,3 +167,45 @@ def test_evaluator_cli_end_to_end(tmp_path):
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "FID:" in r.stdout and "sFID:" in r.stdout
     assert "Precision:" in r.stdout and "Recall:" in r.stdout
+
+
+def test_train_state_save_restore(tmp_path):
+    """Full-train-state (params + optimizer states) round trip for
+    preemption-safe resume."""
+    import flax.linen as nn
+
+    from dxmi_tpu.models.igebm import IGEBMEncoder
+    from dxmi_tpu.models.value import TimeIndependentValue
+    from dxmi_tpu.samplers.var import VARSampler
+    from dxmi_tpu.trainers import buffer as buflib
+    from dxmi_tpu.trainers.dxmi import DxMITrainer
+
+    class E(nn.Module):
+        @nn.compact
+        def __call__(self, x, t, *, deterministic=True):
+            return nn.Conv(x.shape[-1], (3, 3), padding=1)(x)
+
+    T, B, RES = 4, 4, 8
+    s = VARSampler(E(), n_timesteps=T, sample_shape=(3, RES, RES))
+    v = TimeIndependentValue(net=IGEBMEncoder(nh=8, keepdim=False))
+    tr = DxMITrainer(batchsize=B, tau1=0.1, tau2=0.01, gamma=1.0,
+                     n_timesteps=T, use_sampler_beta=True)
+    tr.set_models(s, v, lr=1e-4, v_lr=1e-4)
+    sp = s.init_params(jax.random.key(0))
+    vp = v.init(jax.random.key(1), jnp.zeros((1, RES, RES, 3)),
+                jnp.zeros((1,), jnp.int32))["params"]
+    state = tr.init_state(sp, vp)
+
+    # run one update so optimizer moments are non-trivial
+    d = s.sample(state.sampler_params, jax.random.key(2), B)
+    b = buflib.from_d_sample(d)
+    state, _ = tr.update_f_v(state, jnp.zeros((B, RES, RES, 3)), b,
+                             jax.random.key(3))
+
+    ckpt.save_train_state(str(tmp_path), state, i_iter=17, epoch=3,
+                          best_fid=12.5)
+    template = tr.init_state(sp, vp)
+    restored, meta = ckpt.load_train_state(str(tmp_path), template)
+    assert meta == {"i_iter": 17, "epoch": 3, "best_fid": 12.5}
+    for a, b_ in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-6)

@@ -106,6 +106,8 @@ def main():
                         help="cap total train steps (smoke runs)")
     parser.add_argument("--fake_data", action="store_true",
                         help="use a synthetic dataset stand-in")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume params+optimizer state from the run dir")
     args, unknown = parser.parse_known_args()
 
     d_cmd = cfglib.parse_nested_args(cfglib.parse_unknown_args(unknown))
@@ -127,6 +129,18 @@ def main():
     sampler, value, trainer = build(cfg)
     key, init_key = jax.random.split(key)
     state = init_state(cfg, sampler, value, trainer, init_key)
+    start_epoch, resume_iter, resume_best = 0, 0, float("inf")
+    state_path = os.path.join(
+        f"results/{cfg['data']['name']}/"
+        f"{os.path.basename(args.config).split('.')[0]}", args.run,
+        "train_state.msgpack")
+    if args.resume and os.path.exists(state_path):
+        state, meta = ckptlib.load_train_state(os.path.dirname(state_path), state)
+        start_epoch = int(meta["epoch"])
+        resume_iter = int(meta["i_iter"])
+        resume_best = float(meta.get("best_fid", float("inf")))
+        print0(f"resumed full train state at epoch {start_epoch}, "
+               f"iter {resume_iter}")
     state = replicate(mesh, state)
 
     # data
@@ -168,7 +182,7 @@ def main():
     fid_every = tr_cfg.get("fid_every")
     assert fid_epoch is None or fid_every is None, \
         "cannot set both fid_epoch and fid_every (reference train_cifar10.py:251-253)"
-    best_fid = float("inf")
+    best_fid = resume_best
     fid_state = None
 
     def run_fid(tag_iter, epoch_no):
@@ -188,10 +202,10 @@ def main():
                     meta={"fid": fid, "epoch": epoch_no, "iter": tag_iter})
             logger.log({"FID_": fid, "Best_FID_": best_fid}, tag_iter)
 
-    i_iter = 0
+    i_iter = resume_iter
     t_start = time.time()
     pending = []
-    for epoch in range(int(tr_cfg["n_epochs"])):
+    for epoch in range(start_epoch, int(tr_cfg["n_epochs"])):
         # per-epoch sample grid
         if jax.process_index() == 0:
             key, gk = jax.random.split(key)
@@ -253,12 +267,19 @@ def main():
                 break
         if args.max_steps is not None and i_iter >= args.max_steps:
             break
+        # preemption-safe full-state checkpoint at each epoch boundary
+        if jax.process_index() == 0:
+            ckptlib.save_train_state(logdir, state, i_iter=i_iter,
+                                     epoch=epoch + 1, best_fid=best_fid)
 
     if jax.process_index() == 0:
         ckptlib.save_run_checkpoint(logdir, "last",
                                     sampler_params=state.sampler_params,
                                     v_params=state.v_params,
                                     meta={"epoch": epoch, "iter": i_iter})
+        # full-state checkpoint so interrupted runs resume exactly
+        ckptlib.save_train_state(logdir, state, i_iter=i_iter, epoch=epoch,
+                                 best_fid=best_fid)
         print0(f"done: {i_iter} iters")
 
 
