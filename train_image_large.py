@@ -99,6 +99,9 @@ def main():
     p.add_argument("--run", default="run")
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--fake_data", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="resume full train state from the run dir")
+    p.add_argument("--save_state_every", type=int, default=500)
     args, unknown = p.parse_known_args()
 
     d_cmd = cfglib.parse_nested_args(cfglib.parse_unknown_args(unknown))
@@ -168,12 +171,18 @@ def main():
     sample_fn = jax.jit(lambda p, k: sampler.sample(p, k, batchsize))
     fid_state = maybe_fid_state(cfg)
     best_fid = float("inf")
+    start_iter = 0
+    if args.resume and os.path.exists(os.path.join(logdir, "train_state.msgpack")):
+        state, meta = ckptlib.load_train_state(logdir, state)
+        start_iter = int(meta["i_iter"])
+        best_fid = float(meta.get("best_fid", float("inf")))
+        print0(f"resumed full train state at iter {start_iter}")
     fid_every = tr.get("fid_every")
     log_every = int(tr["log_every"])
     n_iter = int(tr["n_iter"]) if args.max_steps is None else args.max_steps
 
     t0 = time.time()
-    for i_iter in range(n_iter):
+    for i_iter in range(start_iter, n_iter):
         if (fid_every and fid_state is not None
                 and i_iter % int(fid_every) == 0):
             from dxmi_tpu.fid.runner import compute_fid_from_sampler
@@ -203,6 +212,10 @@ def main():
         state, m_energy = trainer.update_f_v(state, x, traj, uk, y=y)
         state, m_sampler = trainer.update_sampler(state, traj, gk)
 
+        if (i_iter and i_iter % int(args.save_state_every) == 0
+                and jax.process_index() == 0):
+            ckptlib.save_train_state(logdir, state, i_iter=i_iter, epoch=0,
+                                     best_fid=best_fid)
         if i_iter % log_every == 0 and jax.process_index() == 0:
             d = {**expand_metrics(m_energy), **expand_metrics(m_sampler)}
             logger.log(d, i_iter)
@@ -216,6 +229,8 @@ def main():
                                     sampler_params=state.sampler_params,
                                     v_params=state.v_params,
                                     meta={"i_iter": n_iter})
+        ckptlib.save_train_state(logdir, state, i_iter=n_iter, epoch=0,
+                                 best_fid=best_fid)
         print0("done")
 
 
