@@ -48,6 +48,11 @@ class DxMIState:
     betas_for_q: jnp.ndarray  # (T,) running-cost betas (EMA-updated)
     f_params: Any = None
     opt_state_f: Any = None
+    # non-param variable collections ('sn_stats' power-iteration vectors
+    # for spectral-norm value/energy nets, modules.py:34-47); None when
+    # the net has no such collection
+    v_stats: Any = None
+    f_stats: Any = None
 
 
 def mean_flat(x: jnp.ndarray) -> jnp.ndarray:
@@ -187,7 +192,10 @@ class DxMITrainer:
             schedule=self.q_beta_schedule, n_timesteps=self.n_timesteps,
             start=self.q_beta_start, end=self.q_beta_end))
 
-    def init_state(self, sampler_params, v_params, f_params=None) -> DxMIState:
+    def init_state(self, sampler_params, v_params, f_params=None,
+                   v_stats=None, f_stats=None) -> DxMIState:
+        """``v_stats``/``f_stats``: pass the 'sn_stats' collection from
+        ``Module.init`` when the value/energy net uses spectral norm."""
         return DxMIState(
             sampler_params=sampler_params,
             v_params=v_params,
@@ -197,21 +205,41 @@ class DxMITrainer:
             f_params=f_params,
             opt_state_f=(self.opt_f.init(f_params)
                          if f_params is not None else None),
+            v_stats=v_stats,
+            f_stats=f_stats,
         )
 
-    def _f_apply(self, f_params, x):
-        return self.energy.apply({"params": f_params}, x).squeeze(-1)
+    def _f_apply(self, f_params, x, stats=None, update=False):
+        """Energy forward. With ``stats`` (an 'sn_stats' collection) the
+        spectral-norm power iteration runs; ``update=True`` additionally
+        returns the iterated collection (torch's spectral_norm updates u
+        on every train-mode forward; here stats advance once per jitted
+        training phase — documented deviation, same fixed point)."""
+        if stats is None:
+            return self.energy.apply({"params": f_params}, x).squeeze(-1)
+        variables = {"params": f_params, "sn_stats": stats}
+        if update:
+            out, mut = self.energy.apply(
+                variables, x, update_sn_stats=True, mutable=["sn_stats"])
+            return out.squeeze(-1), mut["sn_stats"]
+        return self.energy.apply(variables, x).squeeze(-1)
 
     # ------------------------------------------------------------------
     # shared pieces
     # ------------------------------------------------------------------
 
-    def _v_apply(self, v_params, x, t, y=None):
+    def _v_apply(self, v_params, x, t, y=None, stats=None, update=False):
         # pass y only when present so bare time-dependent nets (e.g.
         # UNetSmallEncoder) work as values without a wrapper
-        if y is None:
-            return self.value.apply({"params": v_params}, x, t).squeeze(-1)
-        return self.value.apply({"params": v_params}, x, t, y).squeeze(-1)
+        args = (x, t) if y is None else (x, t, y)
+        if stats is None:
+            return self.value.apply({"params": v_params}, *args).squeeze(-1)
+        variables = {"params": v_params, "sn_stats": stats}
+        if update:
+            out, mut = self.value.apply(
+                variables, *args, update_sn_stats=True, mutable=["sn_stats"])
+            return out.squeeze(-1), mut["sn_stats"]
+        return self.value.apply(variables, *args).squeeze(-1)
 
     def _running_cost(self, betas_for_q, state, next_state, t):
         """(Δx)^2 / (2 beta_q), mean over pixels (trainer.py:163-169).
@@ -280,11 +308,22 @@ class DxMITrainer:
             key, akey = jax.random.split(key)
             inputs = self.aug(inputs, akey)
 
+        v_stats, f_stats = state.v_stats, state.f_stats
+
         def energy_loss(p):
+            new_stats = None
             if self.energy is None:
-                out = self._v_apply(p, inputs, t_term, ys)
+                if v_stats is None:
+                    out = self._v_apply(p, inputs, t_term, ys)
+                else:
+                    out, new_stats = self._v_apply(
+                        p, inputs, t_term, ys, stats=v_stats, update=True)
             else:
-                out = self._f_apply(p, inputs)
+                if f_stats is None:
+                    out = self._f_apply(p, inputs)
+                else:
+                    out, new_stats = self._f_apply(
+                        p, inputs, stats=f_stats, update=True)
             pos = out[: img.shape[0]]
             neg = out[img.shape[0]:]
             loss = pos.mean() - neg.mean()
@@ -292,11 +331,13 @@ class DxMITrainer:
             if self.gamma is not None:
                 reg = (pos ** 2).mean() + (neg ** 2).mean()
                 loss = loss + self.gamma * reg
-            return loss, (pos.mean(), neg.mean(), reg)
+            return loss, (pos.mean(), neg.mean(), reg, new_stats)
 
         if self.energy is None:
-            (d_loss, (pos_e, neg_e, reg)), g = jax.value_and_grad(
+            (d_loss, (pos_e, neg_e, reg, new_stats)), g = jax.value_and_grad(
                 energy_loss, has_aux=True)(state.v_params)
+            if new_stats is not None:
+                v_stats = new_stats
             updates, opt_state_v = self.opt_v.update(
                 g, state.opt_state_v, state.v_params)
             v_params = optax.apply_updates(state.v_params, updates)
@@ -304,8 +345,10 @@ class DxMITrainer:
         else:
             # contrastive step trains f via optimizer_fstar
             # (trainer.py:240-268); v is untouched here
-            (d_loss, (pos_e, neg_e, reg)), g = jax.value_and_grad(
+            (d_loss, (pos_e, neg_e, reg, new_stats)), g = jax.value_and_grad(
                 energy_loss, has_aux=True)(state.f_params)
+            if new_stats is not None:
+                f_stats = new_stats
             updates, opt_state_f = self.opt_f.update(
                 g, state.opt_state_f, state.f_params)
             f_params = optax.apply_updates(state.f_params, updates)
@@ -331,7 +374,7 @@ class DxMITrainer:
         xs = jax.tree.map(lambda a: jnp.take(a, order, axis=0), xs)
 
         def td_step(carry, x):
-            v_params, opt_state_v = carry
+            v_params, opt_state_v, v_stats = carry
             t = x["t"]
             tvec = jnp.full((x["state"].shape[0],), t, dtype=jnp.int32)
             if self.value_resample:
@@ -348,12 +391,13 @@ class DxMITrainer:
             # NOTE: conditioning on the DATA batch's labels, replicating
             # the reference (trainer.py:635,661 passes the img batch's y
             # for sampled states; harmless for class-free value nets)
-            v_next = self._v_apply(v_params, next_state, tvec + 1, y)
+            v_next = self._v_apply(v_params, next_state, tvec + 1, y,
+                                   stats=v_stats)
             if self.energy is not None:
                 # terminal target uses the separate energy; the reference's
                 # "+ tau2*cost" at trainer.py:297 is dead code (overwritten
                 # at :300) — replicated
-                f_next = self._f_apply(f_params, next_state)
+                f_next = self._f_apply(f_params, next_state, stats=f_stats)
                 term = (tvec == T - 1).astype(jnp.float32)
                 v_next = v_next * (1 - term) + f_next * term
             target = v_next + self._time_cost_terms(tvec)
@@ -366,23 +410,30 @@ class DxMITrainer:
             target = jax.lax.stop_gradient(target)
 
             def v_loss_fn(p):
-                v = self._v_apply(p, x["state"], tvec, y)
-                return ((v - target) ** 2).mean(), v.mean()
+                if v_stats is None:
+                    v = self._v_apply(p, x["state"], tvec, y)
+                    return ((v - target) ** 2).mean(), (v.mean(), None)
+                v, new_stats = self._v_apply(p, x["state"], tvec, y,
+                                             stats=v_stats, update=True)
+                return ((v - target) ** 2).mean(), (v.mean(), new_stats)
 
-            (v_loss, v_mean), g = jax.value_and_grad(v_loss_fn, has_aux=True)(v_params)
+            (v_loss, (v_mean, new_stats)), g = jax.value_and_grad(
+                v_loss_fn, has_aux=True)(v_params)
+            if new_stats is not None:
+                v_stats = new_stats
             if self.value_grad_clip:
                 gnorm = optax.global_norm(g)
                 scale = jnp.minimum(1.0, 0.1 / (gnorm + 1e-12))
                 g = jax.tree.map(lambda a: a * scale, g)
             updates, opt_state_v = self.opt_v.update(g, opt_state_v, v_params)
             v_params = optax.apply_updates(v_params, updates)
-            return (v_params, opt_state_v), {
+            return (v_params, opt_state_v, v_stats), {
                 "v_loss": v_loss, "running_cost": cost.mean(), "value": v_mean, "t": t}
 
-        carry = (v_params, opt_state_v)
+        carry = (v_params, opt_state_v, v_stats)
         for _ in range(self.repeat_value_update):
             carry, td_out = jax.lax.scan(td_step, carry, xs)
-        v_params, opt_state_v = carry
+        v_params, opt_state_v, v_stats = carry
 
         metrics = {
             "ebm/d_loss_": d_loss,
@@ -407,6 +458,8 @@ class DxMITrainer:
             betas_for_q=betas_for_q,
             f_params=f_params,
             opt_state_f=opt_state_f,
+            v_stats=v_stats,
+            f_stats=f_stats,
         )
         return new_state, metrics
 
@@ -452,9 +505,11 @@ class DxMITrainer:
                 next_state = d["sample"]
                 if self.aug is not None:
                     next_state = self.aug(next_state, k_drop)
-                v_term = self._v_apply(state.v_params, next_state, t + 1, yb)
+                v_term = self._v_apply(state.v_params, next_state, t + 1, yb,
+                                       stats=state.v_stats)
                 if self.energy is not None:
-                    f_term_v = self._f_apply(state.f_params, next_state)
+                    f_term_v = self._f_apply(state.f_params, next_state,
+                                             stats=state.f_stats)
                     term = (t == T - 1).astype(jnp.float32)
                     v_term = v_term * (1 - term) + f_term_v * term
                 nt = (t < T - self.skip_sampler_tau).astype(jnp.float32)
@@ -488,6 +543,8 @@ class DxMITrainer:
             betas_for_q=state.betas_for_q,
             f_params=state.f_params,
             opt_state_f=state.opt_state_f,
+            v_stats=state.v_stats,
+            f_stats=state.f_stats,
         )
         return new_state, metrics
 
@@ -510,7 +567,8 @@ class DxMITrainer:
             x0 = jax.random.normal(k0, (n_sample, *self.sampler.sample_shape))
 
         def v_sum(x, t):
-            return self._v_apply(state.v_params, x, t).sum()
+            return self._v_apply(state.v_params, x, t,
+                                 stats=state.v_stats).sum()
 
         grad_v = jax.grad(v_sum)
 

@@ -34,6 +34,10 @@ class DxMIStateEV:
     opt_state_v: Any
     opt_state_f: Any
     betas_for_q: jnp.ndarray
+    # optional 'sn_stats' collections (spectral-norm IGEBM energies,
+    # modules.py:34-47); None when the nets carry no such collection
+    v_stats: Any = None
+    f_stats: Any = None
 
 
 class DxMITrainerEV(DxMITrainer):
@@ -59,10 +63,8 @@ class DxMITrainerEV(DxMITrainer):
         self._jit_update_sampler_ev = jax.jit(
             self._update_sampler_ev_impl, static_argnames=("n_generator",))
 
-    def _f_apply(self, f_params, x):
-        return self.energy.apply({"params": f_params}, x).squeeze(-1)
-
-    def init_state_ev(self, sampler_params, v_params, f_params) -> DxMIStateEV:
+    def init_state_ev(self, sampler_params, v_params, f_params,
+                      v_stats=None, f_stats=None) -> DxMIStateEV:
         return DxMIStateEV(
             sampler_params=sampler_params,
             v_params=v_params,
@@ -71,6 +73,8 @@ class DxMITrainerEV(DxMITrainer):
             opt_state_v=self.opt_v.init(v_params),
             opt_state_f=self.opt_f.init(f_params),
             betas_for_q=self.init_betas_for_q(),
+            v_stats=v_stats,
+            f_stats=f_stats,
         )
 
     # ------------------------------------------------------------------
@@ -94,14 +98,23 @@ class DxMITrainerEV(DxMITrainer):
         x0 = traj.next_state[-1]
         inputs = jnp.concatenate([img, x0], axis=0)
 
+        f_stats = state.f_stats
+
         def f_loss(f_params):
-            out = self._f_apply(f_params, inputs)
+            if f_stats is None:
+                out = self._f_apply(f_params, inputs)
+                new_stats = None
+            else:
+                out, new_stats = self._f_apply(f_params, inputs,
+                                               stats=f_stats, update=True)
             pos = out[: img.shape[0]]
             neg = out[img.shape[0]:]
-            return pos.mean() - neg.mean(), (pos.mean(), neg.mean())
+            return pos.mean() - neg.mean(), (pos.mean(), neg.mean(), new_stats)
 
-        (d_loss, (pos_e, neg_e)), g = jax.value_and_grad(
+        (d_loss, (pos_e, neg_e, new_stats)), g = jax.value_and_grad(
             f_loss, has_aux=True)(state.f_params)
+        if new_stats is not None:
+            f_stats = new_stats
         up, opt_state_f = self.opt_f.update(g, state.opt_state_f, state.f_params)
         f_params = optax.apply_updates(state.f_params, up)
 
@@ -112,7 +125,7 @@ class DxMITrainerEV(DxMITrainer):
         xs = jax.tree.map(lambda a: jnp.take(a, order, axis=0), xs)
 
         def td_step(carry, x):
-            v_params, opt_state_v = carry
+            v_params, opt_state_v, v_stats = carry
             t = x["t"]
             tvec = jnp.full((x["state"].shape[0],), t, dtype=jnp.int32)
             d = self.sampler.sample_step(state.sampler_params, x["state"],
@@ -123,24 +136,33 @@ class DxMITrainerEV(DxMITrainer):
             entropy = jnp.log(sigma)
 
             non_term = (tvec < T - 1).astype(jnp.float32)
-            v_next = (self._v_apply(v_params, next_state, tvec + 1) * non_term
-                      + self._f_apply(f_params, next_state) * (1 - non_term))
+            v_next = (self._v_apply(v_params, next_state, tvec + 1,
+                                    stats=v_stats) * non_term
+                      + self._f_apply(f_params, next_state,
+                                      stats=f_stats) * (1 - non_term))
             target = jax.lax.stop_gradient(
                 v_next + cost * self.tau2 - entropy * self.tau1)
 
             def v_loss_fn(p):
-                v = self._v_apply(p, x["state"], tvec)
-                return ((v - target) ** 2).mean(), v.mean()
+                if v_stats is None:
+                    v = self._v_apply(p, x["state"], tvec)
+                    return ((v - target) ** 2).mean(), (v.mean(), None)
+                v, new_stats = self._v_apply(p, x["state"], tvec,
+                                             stats=v_stats, update=True)
+                return ((v - target) ** 2).mean(), (v.mean(), new_stats)
 
-            (v_loss, v_mean), g = jax.value_and_grad(v_loss_fn, has_aux=True)(v_params)
+            (v_loss, (v_mean, new_stats)), g = jax.value_and_grad(
+                v_loss_fn, has_aux=True)(v_params)
+            if new_stats is not None:
+                v_stats = new_stats
             up, opt_state_v = self.opt_v.update(g, opt_state_v, v_params)
             v_params = optax.apply_updates(v_params, up)
-            return (v_params, opt_state_v), {
+            return (v_params, opt_state_v, v_stats), {
                 "v_loss": v_loss, "running_cost": cost.mean(),
                 "value": v_mean, "t": t}
 
-        (v_params, opt_state_v), td_out = jax.lax.scan(
-            td_step, (state.v_params, state.opt_state_v), xs)
+        (v_params, opt_state_v, v_stats), td_out = jax.lax.scan(
+            td_step, (state.v_params, state.opt_state_v, state.v_stats), xs)
 
         metrics = {
             "ebm/d_loss_": d_loss,
@@ -156,7 +178,7 @@ class DxMITrainerEV(DxMITrainer):
             sampler_params=state.sampler_params, v_params=v_params,
             f_params=f_params, opt_state_sampler=state.opt_state_sampler,
             opt_state_v=opt_state_v, opt_state_f=opt_state_f,
-            betas_for_q=betas_for_q)
+            betas_for_q=betas_for_q, v_stats=v_stats, f_stats=f_stats)
         return new_state, metrics
 
     # ------------------------------------------------------------------
@@ -192,8 +214,10 @@ class DxMITrainerEV(DxMITrainer):
                 cost = self._running_cost(state.betas_for_q, s, d["sample"], t).mean()
                 entropy = jnp.log(d["sigma"]).mean()
                 non_term = (t < T - 1).astype(jnp.float32)
-                v_next = (self._v_apply(state.v_params, d["sample"], t + 1) * non_term
-                          + self._f_apply(state.f_params, d["sample"]) * (1 - non_term))
+                v_next = (self._v_apply(state.v_params, d["sample"], t + 1,
+                                        stats=state.v_stats) * non_term
+                          + self._f_apply(state.f_params, d["sample"],
+                                          stats=state.f_stats) * (1 - non_term))
                 loss = v_next.mean() + cost * self.tau2 - entropy * self.tau1
                 return loss, (v_next.mean(), cost, entropy)
 
@@ -219,5 +243,6 @@ class DxMITrainerEV(DxMITrainer):
             sampler_params=sampler_params, v_params=state.v_params,
             f_params=state.f_params, opt_state_sampler=opt_state,
             opt_state_v=state.opt_state_v, opt_state_f=state.opt_state_f,
-            betas_for_q=state.betas_for_q)
+            betas_for_q=state.betas_for_q, v_stats=state.v_stats,
+            f_stats=state.f_stats)
         return new_state, metrics

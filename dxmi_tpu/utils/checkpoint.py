@@ -20,11 +20,16 @@ import numpy as np
 from flax import serialization
 
 
-def save_checkpoint(path: str, params: Any, meta: Optional[Dict[str, Any]] = None) -> None:
+def save_checkpoint(path: str, params: Any, meta: Optional[Dict[str, Any]] = None,
+                    extra: Optional[Dict[str, Any]] = None) -> None:
+    """``extra`` adds further top-level collections to the payload (e.g.
+    ``{"sn_stats": ...}`` for spectral-norm nets)."""
     payload = {
         "params": jax.tree.map(np.asarray, params),
         "meta": dict(meta or {}),
     }
+    for coll, tree in (extra or {}).items():
+        payload[coll] = jax.tree.map(np.asarray, tree)
     blob = serialization.msgpack_serialize(payload)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -39,17 +44,23 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
 
 def save_run_checkpoint(logdir: str, postfix: str, *, sampler_params=None,
                         v_params=None, f_params=None,
+                        v_stats=None, f_stats=None,
                         meta: Optional[Dict[str, Any]] = None) -> None:
     """Write the reference's file family: sampler_{postfix}, value_{postfix},
-    energy_{postfix} (train_cifar10.py:58-79)."""
+    energy_{postfix} (train_cifar10.py:58-79). ``v_stats``/``f_stats`` embed
+    spectral-norm 'sn_stats' collections in the value/energy files."""
     os.makedirs(logdir, exist_ok=True)
     if sampler_params is not None:
         save_checkpoint(os.path.join(logdir, f"sampler_{postfix}.msgpack"),
                         sampler_params, meta)
     if v_params is not None:
-        save_checkpoint(os.path.join(logdir, f"value_{postfix}.msgpack"), v_params)
+        save_checkpoint(os.path.join(logdir, f"value_{postfix}.msgpack"),
+                        v_params,
+                        extra={"sn_stats": v_stats} if v_stats is not None else None)
     if f_params is not None:
-        save_checkpoint(os.path.join(logdir, f"energy_{postfix}.msgpack"), f_params)
+        save_checkpoint(os.path.join(logdir, f"energy_{postfix}.msgpack"),
+                        f_params,
+                        extra={"sn_stats": f_stats} if f_stats is not None else None)
 
 
 def save_train_state(logdir: str, state: Any, *, i_iter: int, epoch: int,

@@ -177,6 +177,7 @@ def convert_igebm(state: Dict[str, np.ndarray], keepdim: bool = False) -> Dict[s
         state = {k[4:]: v for k, v in state.items()}
 
     params: Dict[str, Any] = {}
+    sn: Dict[str, Dict[str, np.ndarray]] = {}
     for key, val in state.items():
         val = np.asarray(val, dtype=np.float32)
         name = re.sub(r"^blocks\.(\d+)\.", lambda m: f"block_{m.group(1)}.", key)
@@ -184,7 +185,23 @@ def convert_igebm(state: Dict[str, np.ndarray], keepdim: bool = False) -> Dict[s
         parts = name.split(".")
         *mods, leaf = parts
 
-        if "class_embed" in name and leaf == "weight":
+        if "parametrizations" in parts:
+            # torch.nn.utils.parametrizations.spectral_norm layout
+            # (modules.py:44-62): X.parametrizations.weight.{original,0._u,0._v}
+            i = parts.index("parametrizations")
+            conv_path = parts[:i]
+            tail = ".".join(parts[i + 1:])
+            grp = sn.setdefault(".".join(conv_path), {})
+            if tail == "weight.original":
+                grp["weight"] = val
+                _set(params, conv_path + ["kernel"], _conv_kernel(val))
+            elif tail == "weight.0._u":
+                grp["u"] = val
+            elif tail == "weight.0._v":
+                grp["v"] = val
+            else:
+                raise ValueError(f"unhandled spectral-norm key: {key}")
+        elif "class_embed" in name and leaf == "weight":
             _set(params, mods + ["embedding"], val)
         elif leaf == "weight":
             if val.ndim == 4:
@@ -196,17 +213,52 @@ def convert_igebm(state: Dict[str, np.ndarray], keepdim: bool = False) -> Dict[s
                 raise ValueError(f"unexpected weight ndim for {key}: {val.ndim}")
         elif leaf == "bias":
             _set(params, mods + ["bias"], val)
-        elif "parametrizations" in name:
-            raise NotImplementedError(
-                "spectral-norm parametrized checkpoints not supported yet")
         else:
             raise ValueError(f"unhandled key: {key}")
-    return {"params": params}
+
+    out: Dict[str, Any] = {"params": params}
+    if sn:
+        out["sn_stats"] = _igebm_sn_stats(sn)
+    return out
+
+
+# creation order of the nn.SpectralNorm wrappers inside ResBlockEBM /
+# IGEBMEncoder (igebm.py): conv1 -> conv2 -> skip
+_SN_INDEX = {"conv1": 0, "conv2": 1, "skip": 2}
+
+
+def _igebm_sn_stats(sn: Dict[str, Dict[str, np.ndarray]]) -> Dict[str, Any]:
+    """Build the flax 'sn_stats' collection from torch spectral-norm
+    parametrization tensors.
+
+    torch stores u (O,) / v (I*H*W,) for W.reshape(O, -1); flax
+    ``nn.SpectralNorm`` stores u (1, O) for kernel.reshape(-1, O) plus a
+    sigma scalar that it re-derives by power iteration from u — so sigma
+    is seeded with u^T W v (exact when u/v have converged).
+    """
+    stats: Dict[str, Any] = {}
+    for conv_path, grp in sorted(sn.items()):
+        missing = {"weight", "u", "v"} - set(grp)
+        if missing:
+            raise ValueError(
+                f"incomplete spectral-norm tensors for {conv_path}: "
+                f"missing {sorted(missing)}")
+        w, u, v = grp["weight"], grp["u"], grp["v"]
+        sigma = float(u @ w.reshape(w.shape[0], -1) @ v)
+        parts = conv_path.split(".")
+        parent, convname = parts[:-1], parts[-1]
+        wrapper = f"SpectralNorm_{_SN_INDEX[convname]}"
+        _set(stats, parent + [wrapper, f"{convname}/kernel/u"],
+             u[None, :].astype(np.float32))
+        _set(stats, parent + [wrapper, f"{convname}/kernel/sigma"],
+             np.float32(sigma))
+    return stats
 
 
 def wrap_value_params(igebm_params: Dict[str, Any]) -> Dict[str, Any]:
-    """Nest encoder params under the TimeIndependentValue module."""
-    return {"params": {"net": igebm_params["params"]}}
+    """Nest encoder variables (params and any extra collections such as
+    'sn_stats') under the TimeIndependentValue module."""
+    return {coll: {"net": tree} for coll, tree in igebm_params.items()}
 
 
 # ---------------------------------------------------------------------------

@@ -142,7 +142,9 @@ def main():
         v_ckpt = ckptlib.load_checkpoint(
             os.path.join(args.log_dir, f"value_{args.sampler}.msgpack"))
         v_params = jax.tree.map(jnp.asarray, v_ckpt["params"])
-        state = trainer.init_state(sampler_params, v_params)
+        v_stats = (jax.tree.map(jnp.asarray, v_ckpt["sn_stats"])
+                   if "sn_stats" in v_ckpt else None)
+        state = trainer.init_state(sampler_params, v_params, v_stats=v_stats)
         trainer.guidance_scale = args.guidance_scale
         print0(f"value-guided sampling, scale={args.guidance_scale}")
 

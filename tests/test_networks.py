@@ -151,12 +151,40 @@ class TestTorchParity:
                                       jnp.asarray(x.transpose(0, 2, 3, 1))))
         np.testing.assert_allclose(ours, ref_out, rtol=1e-4, atol=1e-4)
 
+    def test_igebm_spectral_norm_forward_parity(self, ref_modules):
+        """Spectral-norm parametrized checkpoint conversion: torch stores
+        (weight.original, _u, _v); flax re-derives sigma from u by one
+        power-iteration step, so parity holds once u has converged (a few
+        train-mode torch forwards)."""
+        import torch
+        _, ref_mod = ref_modules
+        torch.manual_seed(5)
+        tm = ref_mod.IGEBMEncoderV2(in_chan=3, out_chan=1,
+                                    use_spectral_norm=True, keepdim=False,
+                                    out_activation="linear", nh=16)
+        x = np.random.RandomState(6).randn(2, 3, 32, 32).astype(np.float32)
+        xt = torch.from_numpy(x)
+        tm.train()
+        with torch.no_grad():
+            for _ in range(50):  # converge the power iteration
+                tm(xt)
+        tm.eval()
+        with torch.no_grad():
+            ref_out = tm(xt).numpy()
+
+        variables = convert.convert_igebm(
+            convert.torch_state_to_numpy(tm.state_dict()))
+        assert "sn_stats" in variables
+        model = IGEBMEncoder(nh=16, keepdim=False, use_spectral_norm=True)
+        ours = np.asarray(model.apply(variables,
+                                      jnp.asarray(x.transpose(0, 2, 3, 1))))
+        np.testing.assert_allclose(ours, ref_out, rtol=1e-3, atol=1e-4)
+
 
 def test_igebm_spectral_norm_paths():
     """Spectral-norm variant: init creates 'sn_stats'; inference and
-    power-iteration-updating applies both work. (Trainer threading of
-    sn_stats is a documented round-1 gap — all shipped configs disable
-    spectral norm.)"""
+    power-iteration-updating applies both work. Trainer threading of
+    sn_stats is covered in tests/test_spectral_norm_trainer.py."""
     m = IGEBMEncoder(nh=8, keepdim=False, use_spectral_norm=True)
     x = jnp.ones((2, 16, 16, 3))
     vs = m.init(jax.random.key(0), x)

@@ -36,7 +36,8 @@ from dxmi_tpu.utils import checkpoint as ckptlib
 from dxmi_tpu.utils.metrics import anomaly_scores_from_energy
 
 
-def build(image_size: int, n_timesteps: int, nh: int = 64, ch: int = 64):
+def build(image_size: int, n_timesteps: int, nh: int = 64, ch: int = 64,
+          spectral_norm: bool = False):
     net = UNetSmall(ch=ch, out_ch=3, ch_mult=(1, 2, 2), num_res_blocks=1,
                     attn_resolutions=(image_size // 4,), dropout=0.0,
                     in_channels=3, resolution=image_size)
@@ -50,7 +51,8 @@ def build(image_size: int, n_timesteps: int, nh: int = 64, ch: int = 64):
                              attn_resolutions=(), dropout=0.0,
                              in_channels=3, resolution=image_size)
     energy = IGEBMEncoder(in_chan=3, out_chan=1, keepdim=False,
-                          learn_out_scale=True, nh=nh)
+                          learn_out_scale=True, nh=nh,
+                          use_spectral_norm=spectral_norm)
     return net, sampler, value, energy
 
 
@@ -69,6 +71,8 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--run", default="run")
     p.add_argument("--fake_data", action="store_true")
+    p.add_argument("--spectral_norm", action="store_true",
+                   help="spectral-normalize the energy net (IGEBM-style)")
     p.add_argument("--log_every", type=int, default=50)
     # scoring mode
     p.add_argument("--score", action="store_true")
@@ -83,7 +87,8 @@ def main():
     key = jax.random.key(args.seed)
     B = args.batchsize
     res = args.image_size
-    net, sampler, value, energy = build(res, args.n_timesteps)
+    net, sampler, value, energy = build(res, args.n_timesteps,
+                                        spectral_norm=args.spectral_norm)
 
     trainer = DxMITrainerEV(batchsize=B, tau1=args.tau1, tau2=args.tau2,
                             n_timesteps=args.n_timesteps,
@@ -94,9 +99,11 @@ def main():
     key, k1, k2, k3 = jax.random.split(key, 4)
     sp = sampler.init_params(k1)
     x0 = jnp.zeros((1, res, res, 3))
-    vp = value.init(k2, x0, jnp.zeros((1,), jnp.float32))["params"]
-    fp = energy.init(k3, x0)["params"]
-    state = trainer.init_state_ev(sp, vp, fp)
+    vv = value.init(k2, x0, jnp.zeros((1,), jnp.float32))
+    fv = energy.init(k3, x0)
+    state = trainer.init_state_ev(sp, vv["params"], fv["params"],
+                                  v_stats=vv.get("sn_stats"),
+                                  f_stats=fv.get("sn_stats"))
 
     if args.fake_data:
         def gen():
@@ -110,7 +117,8 @@ def main():
     sample_fn = jax.jit(lambda p, k: sampler.sample(p, k, B))
     logdir = os.path.join("results/anomaly", args.run)
     os.makedirs(logdir, exist_ok=True)
-    cfglib.save_yaml({"image_size": res, "n_timesteps": args.n_timesteps},
+    cfglib.save_yaml({"image_size": res, "n_timesteps": args.n_timesteps,
+                      "spectral_norm": bool(args.spectral_norm)},
                      os.path.join(logdir, "config.yaml"))
 
     for i in range(args.n_iter):
@@ -128,7 +136,9 @@ def main():
     ckptlib.save_run_checkpoint(logdir, "last",
                                 sampler_params=state.sampler_params,
                                 v_params=state.v_params,
-                                f_params=state.f_params)
+                                f_params=state.f_params,
+                                v_stats=state.v_stats,
+                                f_stats=state.f_stats)
     print(f"saved to {logdir}")
 
 
@@ -138,11 +148,14 @@ def score(args):
 
     cfg = cfglib.load_yaml(os.path.join(args.log_dir, "config.yaml"))
     res = int(cfg["image_size"])
-    _, _, _, energy = build(res, int(cfg["n_timesteps"]))
+    _, _, _, energy = build(res, int(cfg["n_timesteps"]),
+                            spectral_norm=bool(cfg.get("spectral_norm", False)))
     ck = ckptlib.load_checkpoint(
         os.path.join(args.log_dir, "energy_last.msgpack"))
-    fparams = jax.tree.map(jnp.asarray, ck["params"])
-    f = jax.jit(lambda x: energy.apply({"params": fparams}, x).squeeze(-1))
+    variables = {"params": jax.tree.map(jnp.asarray, ck["params"])}
+    if "sn_stats" in ck:
+        variables["sn_stats"] = jax.tree.map(jnp.asarray, ck["sn_stats"])
+    f = jax.jit(lambda x: energy.apply(variables, x).squeeze(-1))
 
     def dir_scores(path):
         files = list_images(path)

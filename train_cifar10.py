@@ -81,7 +81,9 @@ def init_state(cfg, sampler, value, trainer, key):
 
     h, w, c = sampler.sample_shape
     x = jnp.zeros((1, h, w, c))
-    vp = value.init(k2, x, jnp.zeros((1,), jnp.int32))["params"]
+    vv = value.init(k2, x, jnp.zeros((1,), jnp.int32))
+    vp = vv["params"]
+    v_stats = vv.get("sn_stats")  # spectral-norm value nets
 
     v_ckpt = cfg["training"].get("value_ckpt")
     if v_ckpt and os.path.exists(v_ckpt):
@@ -89,12 +91,13 @@ def init_state(cfg, sampler, value, trainer, key):
 
         state_np = ckptlib.load_torch_checkpoint(v_ckpt)
         state_np.pop("__meta__", None)
-        vp = jax.tree.map(jnp.asarray,
-                          convert.wrap_value_params(
-                              convert.convert_igebm(state_np))["params"])
+        wrapped = convert.wrap_value_params(convert.convert_igebm(state_np))
+        vp = jax.tree.map(jnp.asarray, wrapped["params"])
+        if "sn_stats" in wrapped:
+            v_stats = jax.tree.map(jnp.asarray, wrapped["sn_stats"])
         print0(f"value checkpoint loaded from {v_ckpt}")
 
-    return trainer.init_state(sp, vp)
+    return trainer.init_state(sp, vp, v_stats=v_stats)
 
 
 def main():
@@ -198,7 +201,7 @@ def main():
                 best_fid = fid
                 ckptlib.save_run_checkpoint(
                     logdir, "best", sampler_params=state.sampler_params,
-                    v_params=state.v_params,
+                    v_params=state.v_params, v_stats=state.v_stats,
                     meta={"fid": fid, "epoch": epoch_no, "iter": tag_iter})
             logger.log({"FID_": fid, "Best_FID_": best_fid}, tag_iter)
 
@@ -276,6 +279,7 @@ def main():
         ckptlib.save_run_checkpoint(logdir, "last",
                                     sampler_params=state.sampler_params,
                                     v_params=state.v_params,
+                                    v_stats=state.v_stats,
                                     meta={"epoch": epoch, "iter": i_iter})
         # full-state checkpoint so interrupted runs resume exactly
         ckptlib.save_train_state(logdir, state, i_iter=i_iter, epoch=epoch,

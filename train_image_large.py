@@ -128,9 +128,10 @@ def main():
 
     h, w, c = sampler.sample_shape
     key, vk = jax.random.split(key)
-    v_params = jax.jit(value.init)(vk, jnp.zeros((1, h, w, c)),
-                                   jnp.zeros((1,), jnp.int32))["params"]
-    state = replicate(mesh, trainer.init_state(sampler_params, v_params))
+    v_vars = jax.jit(value.init)(vk, jnp.zeros((1, h, w, c)),
+                                 jnp.zeros((1,), jnp.int32))
+    state = replicate(mesh, trainer.init_state(
+        sampler_params, v_vars["params"], v_stats=v_vars.get("sn_stats")))
 
     class_cond = bool(cfg["sampler"].get("class_cond"))
     if args.fake_data:
