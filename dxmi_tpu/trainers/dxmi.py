@@ -174,6 +174,8 @@ class DxMITrainer:
         self._jit_update_f_v = jax.jit(self._update_f_v_impl)
         self._jit_update_sampler = jax.jit(
             self._update_sampler_impl, static_argnames=("n_generator",))
+        self._jit_train_step = jax.jit(
+            self._train_step_impl, static_argnames=("n_generator",))
 
     def _make_sampler_opt(self, lr: float):
         if self.sampler_optimizer == "adam":
@@ -269,6 +271,37 @@ class DxMITrainer:
         if self.time_cost is not None:
             add = add + self.time_cost
         return add
+
+    # ------------------------------------------------------------------
+    # fused train step (TPU-native fast path)
+    # ------------------------------------------------------------------
+
+    def train_step(self, state: DxMIState, img: jnp.ndarray, key: jax.Array,
+                   n_generator: int = 1, y: Optional[jnp.ndarray] = None
+                   ) -> Tuple[DxMIState, Dict[str, jnp.ndarray]]:
+        """ONE jitted dispatch for a full DxMI iteration (the n_critic=1
+        path of the reference loop, train_cifar10.py:179-205): sample the
+        trajectory, build the buffer, run the value/energy update and the
+        policy update — no intermediate host round-trips. Phase-separated
+        ``update_f_v``/``update_sampler`` remain for n_critic>1."""
+        return self._jit_train_step(state, img, key, y,
+                                    n_generator=int(n_generator))
+
+    def _train_step_impl(self, state: DxMIState, img, key, y=None, *,
+                         n_generator: int):
+        from dxmi_tpu.trainers import buffer as buflib
+
+        k1, k2, k3 = jax.random.split(key, 3)
+        if y is None:
+            d = self.sampler.sample(state.sampler_params, k1, self.batchsize)
+        else:
+            d = self.sampler.sample(state.sampler_params, k1, self.batchsize,
+                                    y=y)
+        traj = buflib.from_d_sample(d)
+        state, m1 = self._update_f_v_impl(state, img, traj, k2, y)
+        state, m2 = self._update_sampler_impl(state, traj.flat(), k3,
+                                              n_generator=n_generator)
+        return state, {**m1, **m2}
 
     # ------------------------------------------------------------------
     # value / energy update

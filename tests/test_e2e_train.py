@@ -29,6 +29,7 @@ def test_train_cifar10_smoke(tmp_path):
              "--sampler_net.ch", "32", "--sampler_net.ch_mult", "[1,2]",
              "--sampler_net.num_res_blocks", "1",
              "--sampler_net.attn_resolutions", "[8]",
+             "--value.net.nh", "16",
              "--training.batchsize", "8", "--training.n_epochs", "1",
              "--training.fid_epoch", "None", "--training.log_every", "1",
              "--training.sampler_ckpt", "None"])

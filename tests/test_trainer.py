@@ -174,3 +174,31 @@ def test_sample_guidance(setup):
                                  guidance_scale=0.0)
     # zero scale reduces to the plain policy (same keys -> same noise)
     assert not np.allclose(np.asarray(d["sample"]), np.asarray(d0["sample"]))
+
+
+def test_fused_train_step_matches_phased(setup):
+    """trainer.train_step (one jitted dispatch) must reproduce the
+    sample -> update_f_v -> update_sampler phase sequence exactly when
+    given the same subkeys."""
+    trainer, sampler, value, state = setup
+    img = jax.random.normal(jax.random.key(40), (B, RES, RES, 3))
+    key = jax.random.key(41)
+
+    fused_state, m = trainer.train_step(state, img, key, n_generator=1)
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    d = sampler.sample(state.sampler_params, k1, B)
+    traj = buf.from_d_sample(d)
+    ref_state, m1 = trainer.update_f_v(state, img, traj, k2)
+    ref_state, m2 = trainer.update_sampler(ref_state, traj, k3, n_generator=1)
+
+    for a, b in zip(jax.tree.leaves(fused_state.sampler_params),
+                    jax.tree.leaves(ref_state.sampler_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(fused_state.v_params),
+                    jax.tree.leaves(ref_state.v_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    np.testing.assert_allclose(float(m["ebm/d_loss_"]),
+                               float(m1["ebm/d_loss_"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m["sampler/sampler_loss_"]),
+                               float(m2["sampler/sampler_loss_"]), rtol=1e-5)

@@ -233,23 +233,39 @@ def main():
                 run_fid(i_iter, epoch)
 
             key, sk, uk, gk2 = jax.random.split(key, 4)
-            with timer.phase("sample"):
-                d_sample = sample_fn(state.sampler_params, sk)
-                traj = buflib.from_d_sample(d_sample)
-                jax.block_until_ready(traj.state)
-            pending.append(traj)
-            with timer.phase("update_f_v"):
-                state, m_energy = trainer.update_f_v(state, images, traj, uk)
-                jax.block_until_ready(m_energy["ebm/d_loss_"])
+            if n_critic == 1:
+                # fused fast path: the whole DxMI iteration is ONE jitted
+                # dispatch (sample -> buffer -> update_f_v -> update_sampler).
+                # Only sync at log boundaries — dispatch pipelining hides
+                # per-step latency (PERF.md: 420 -> 270 ms/step on-chip).
+                with timer.phase("train_step"):
+                    state, m_all = trainer.train_step(
+                        state, images, sk, n_generator=n_generator)
+                    if (step + 1) % log_every == 0:
+                        jax.block_until_ready(m_all["sampler/sampler_loss_"])
+                m_energy = m_sampler = m_all
+                do_log = True
+            else:
+                with timer.phase("sample"):
+                    d_sample = sample_fn(state.sampler_params, sk)
+                    traj = buflib.from_d_sample(d_sample)
+                    jax.block_until_ready(traj.state)
+                pending.append(traj)
+                with timer.phase("update_f_v"):
+                    state, m_energy = trainer.update_f_v(state, images, traj, uk)
+                    jax.block_until_ready(m_energy["ebm/d_loss_"])
+                do_log = False
 
-            if (step + 1) % n_critic == 0:
+            if n_critic > 1 and (step + 1) % n_critic == 0:
                 full = buflib.concat(*pending) if len(pending) > 1 else pending[0]
                 with timer.phase("update_sampler"):
                     state, m_sampler = trainer.update_sampler(
                         state, full, gk2, n_generator=n_generator)
                     jax.block_until_ready(m_sampler["sampler/sampler_loss_"])
                 pending = []
+                do_log = True
 
+            if do_log:
                 if (step + 1) % log_every == 0 and jax.process_index() == 0:
                     d = {**expand_metrics(m_energy), **expand_metrics(m_sampler),
                          **timer.summary(),
