@@ -198,7 +198,7 @@ def main():
                 best_fid = fid
                 ckptlib.save_run_checkpoint(
                     logdir, "best", sampler_params=state.sampler_params,
-                    v_params=state.v_params,
+                    v_params=state.v_params, v_stats=state.v_stats,
                     meta={"fid": fid, "i_iter": i_iter})
             logger.log({"FID_": fid, "Best_FID_": best_fid}, i_iter)
 
@@ -229,6 +229,7 @@ def main():
         ckptlib.save_run_checkpoint(logdir, "last",
                                     sampler_params=state.sampler_params,
                                     v_params=state.v_params,
+                                    v_stats=state.v_stats,
                                     meta={"i_iter": n_iter})
         ckptlib.save_train_state(logdir, state, i_iter=n_iter, epoch=0,
                                  best_fid=best_fid)
