@@ -127,6 +127,10 @@ class AttentionBlockADM(nn.Module):
 
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    # fp32 softmax matches the reference's fp16 path numerics
+    # (cm/unet.py:423 upcasts); bf16 softmax is the measured-faster
+    # TPU option (PERF.md: +6% on the CIFAR net)
+    softmax_f32: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -140,9 +144,10 @@ class AttentionBlockADM(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
         scale = 1.0 / math.sqrt(math.sqrt(d))
+        acc_t = jnp.float32 if self.softmax_f32 else self.dtype
         logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k * scale,
-                            preferred_element_type=jnp.float32)
-        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+                            preferred_element_type=acc_t)
+        w = jax.nn.softmax(logits.astype(acc_t), axis=-1).astype(self.dtype)
         a = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(B, H, W, C)
         a = nn.Conv(C, (1, 1), dtype=self.dtype, kernel_init=zeros_init,
                     name="proj_out")(a)
@@ -173,6 +178,7 @@ class UNetADM(nn.Module):
     resblock_updown: bool = False
     use_checkpoint: bool = False
     dtype: jnp.dtype = jnp.float32
+    softmax_f32: bool = True
 
     def _channel_mult(self) -> Tuple[int, ...]:
         if self.channel_mult:
@@ -222,6 +228,7 @@ class UNetADM(nn.Module):
                     h, emb, deterministic=deterministic)
                 if ds in self.attention_resolutions:
                     h = AttentionBlockADM(self._heads(ch, False), dtype=self.dtype,
+                                          softmax_f32=self.softmax_f32,
                                           name=f"input_blocks_{i_block}_1")(h)
                 hs.append(h)
                 i_block += 1
@@ -246,6 +253,7 @@ class UNetADM(nn.Module):
                       dtype=self.dtype, name="middle_block_0")(
             h, emb, deterministic=deterministic)
         h = AttentionBlockADM(self._heads(ch, False), dtype=self.dtype,
+                                          softmax_f32=self.softmax_f32,
                               name="middle_block_1")(h)
         h = res_block(ch, self.dropout, self.use_scale_shift_norm,
                       dtype=self.dtype, name="middle_block_2")(
@@ -263,6 +271,7 @@ class UNetADM(nn.Module):
                 j = 1
                 if ds in self.attention_resolutions:
                     h = AttentionBlockADM(self._heads(ch, True), dtype=self.dtype,
+                                          softmax_f32=self.softmax_f32,
                                           name=f"output_blocks_{i_block}_{j}")(h)
                     j += 1
                 if level and i == self.num_res_blocks:
@@ -298,10 +307,13 @@ def create_unet_adm(image_size: int, num_channels: int, num_res_blocks: int,
                     resblock_updown: bool = False, use_fp16: bool = False,
                     use_new_attention_order: bool = False,
                     learn_sigma: bool = False,
-                    dtype=None) -> UNetADM:
+                    dtype=None, softmax_f32=None) -> UNetADM:
     """Factory mirroring cm/script_util.create_model:102-160, including the
     "32,16,8" attention-resolution string -> downsample-rate conversion.
-    ``use_fp16`` selects bf16 compute on TPU."""
+    ``use_fp16`` selects bf16 compute on TPU — including bf16 attention
+    softmax, matching the reference's half-precision attention in that
+    mode (QKVAttentionLegacy casts qkv to half, cm/unet.py:423; measured
+    +47% on ImageNet64 sampling, PERF.md). ``softmax_f32`` overrides."""
     if channel_mult:
         cm = tuple(int(c) for c in str(channel_mult).split(","))
     else:
@@ -310,6 +322,8 @@ def create_unet_adm(image_size: int, num_channels: int, num_res_blocks: int,
                     for r in str(attention_resolutions).split(","))
     if dtype is None:
         dtype = jnp.bfloat16 if use_fp16 else jnp.float32
+    if softmax_f32 is None:
+        softmax_f32 = not use_fp16
     return UNetADM(
         image_size=image_size,
         in_channels=3,
@@ -327,6 +341,7 @@ def create_unet_adm(image_size: int, num_channels: int, num_res_blocks: int,
         resblock_updown=resblock_updown,
         use_checkpoint=use_checkpoint,
         dtype=dtype,
+        softmax_f32=softmax_f32,
     )
 
 
