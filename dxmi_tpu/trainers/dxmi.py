@@ -132,13 +132,20 @@ class DxMITrainer:
 
     def set_models(self, sampler, value, lr: float, v_lr: float,
                    beta_lr: Optional[float] = None, energy=None,
-                   f_lr: Optional[float] = None) -> None:
+                   f_lr: Optional[float] = None,
+                   donate: bool = False) -> None:
         """Bind the (static) sampler/value modules and build optimizers.
 
         ``log_betas`` gets its own learning rate, replacing the reference's
         param-group surgery (train_cifar10.py:283-294). ``energy`` enables
         the optional separate energy net ``f`` (trainer.py:240-268,
         294-300, 371-380).
+
+        ``donate=True`` donates the state pytree to each jitted update
+        (XLA reuses the params/optimizer-state buffers in place — halves
+        peak HBM for the 300-500M EDM models on a single chip). The
+        caller must then treat the passed-in state as consumed; the
+        entries' ``state = trainer.update(...)`` rebinding pattern does.
         """
         self.sampler = sampler
         self.value = value
@@ -168,14 +175,17 @@ class DxMITrainer:
             self.opt_sampler = optax.apply_if_finite(self.opt_sampler, 100)
         self.opt_v = optax.adam(v_lr)
 
-        # NOTE: no donate_argnums — the functional API allows callers to
-        # reuse a state pytree after an update (tests do); the production
-        # train loop rebinds and the copy is cheap relative to the model.
-        self._jit_update_f_v = jax.jit(self._update_f_v_impl)
+        # donate=False (default): callers may reuse a state pytree after an
+        # update (tests do); the copy is cheap for CIFAR-scale models.
+        dn = (0,) if donate else ()
+        self._jit_update_f_v = jax.jit(self._update_f_v_impl,
+                                       donate_argnums=dn)
         self._jit_update_sampler = jax.jit(
-            self._update_sampler_impl, static_argnames=("n_generator",))
+            self._update_sampler_impl, static_argnames=("n_generator",),
+            donate_argnums=dn)
         self._jit_train_step = jax.jit(
-            self._train_step_impl, static_argnames=("n_generator",))
+            self._train_step_impl, static_argnames=("n_generator",),
+            donate_argnums=dn)
 
     def _make_sampler_opt(self, lr: float):
         if self.sampler_optimizer == "adam":

@@ -52,16 +52,19 @@ class DxMITrainerEV(DxMITrainer):
         self.energy = None
 
     def set_models(self, sampler, value, energy, lr, v_lr, f_lr,
-                   beta_lr=None):
-        super().set_models(sampler, value, lr, v_lr, beta_lr)
+                   beta_lr=None, donate=False):
+        super().set_models(sampler, value, lr, v_lr, beta_lr, donate=donate)
         # assign AFTER super(): the base resets self.energy (its optional
         # f-mode is unused here — EV has its own update programs)
         self.energy = energy
         self.opt_f = optax.chain(optax.clip_by_global_norm(0.1),
                                  optax.adam(f_lr))
-        self._jit_update_f_v_ev = jax.jit(self._update_f_v_ev_impl)
+        dn = (0,) if donate else ()
+        self._jit_update_f_v_ev = jax.jit(self._update_f_v_ev_impl,
+                                          donate_argnums=dn)
         self._jit_update_sampler_ev = jax.jit(
-            self._update_sampler_ev_impl, static_argnames=("n_generator",))
+            self._update_sampler_ev_impl, static_argnames=("n_generator",),
+            donate_argnums=dn)
 
     def init_state_ev(self, sampler_params, v_params, f_params,
                       v_stats=None, f_stats=None) -> DxMIStateEV:

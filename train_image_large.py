@@ -124,7 +124,10 @@ def main():
                           n_timesteps=cfg["sampler"]["n_timesteps"])
     trainer.set_models(sampler, value, lr=float(tr["lr"]),
                        v_lr=float(tr["v_lr"]),
-                       beta_lr=float(tr.get("beta_lr") or tr["lr"]))
+                       beta_lr=float(tr.get("beta_lr") or tr["lr"]),
+                       # in-place buffer reuse: halves peak HBM for the
+                       # 300-500M EDM models on a single chip
+                       donate=True)
 
     h, w, c = sampler.sample_shape
     key, vk = jax.random.split(key)
