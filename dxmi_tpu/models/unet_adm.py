@@ -69,7 +69,12 @@ def zeros_init(key, shape, dtype=jnp.float32):
 
 class ResBlockADM(nn.Module):
     """GN-SiLU-conv / emb-FiLM / GN-SiLU-drop-zeroconv residual block with
-    optional in-block resampling (cm/unet.py:147-260)."""
+    optional in-block resampling (cm/unet.py:147-260).
+
+    ``quant``: run the two 3x3 convs (the block's FLOPs) as int8 W8A8
+    (dxmi_tpu/ops/quant.py); 'static' uses calibrated activation scales
+    from the 'quant_scales' collection. Skip/attention 1x1 convs stay
+    full precision (cheap; drift control)."""
 
     out_channels: int
     dropout: float = 0.0
@@ -77,6 +82,20 @@ class ResBlockADM(nn.Module):
     up: bool = False
     down: bool = False
     dtype: jnp.dtype = jnp.float32
+    quant: object = False
+
+    def _conv3(self, name, kernel_init=None):
+        if self.quant:
+            from dxmi_tpu.ops.quant import QConv
+
+            return QConv(self.out_channels, (3, 3), padding=1,
+                         dtype=self.dtype,
+                         static_act=(self.quant == "static"),
+                         kernel_init=kernel_init, name=name)
+        return nn.Conv(self.out_channels, (3, 3), padding=1,
+                       dtype=self.dtype,
+                       kernel_init=kernel_init or nn.initializers.lecun_normal(),
+                       name=name)
 
     @nn.compact
     def __call__(self, x, emb, *, deterministic: bool = True):
@@ -88,8 +107,7 @@ class ResBlockADM(nn.Module):
         elif self.down:
             h = nn.avg_pool(h, (2, 2), strides=(2, 2))
             x = nn.avg_pool(x, (2, 2), strides=(2, 2))
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="in_layers_2")(h)
+        h = self._conv3("in_layers_2")(h)
 
         emb_ch = 2 * self.out_channels if self.use_scale_shift_norm else self.out_channels
         emb_out = nn.Dense(emb_ch, dtype=self.dtype,
@@ -106,8 +124,7 @@ class ResBlockADM(nn.Module):
         # (scale-shift keeps GN and SiLU separate — FiLM sits between)
         h = jax.nn.silu(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    kernel_init=zeros_init, name="out_layers_3")(h)
+        h = self._conv3("out_layers_3", kernel_init=zeros_init)(h)
 
         if in_ch != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
@@ -179,6 +196,8 @@ class UNetADM(nn.Module):
     use_checkpoint: bool = False
     dtype: jnp.dtype = jnp.float32
     softmax_f32: bool = True
+    # int8 W8A8 ResBlock convs: False | True (dynamic) | 'static'
+    quant_int8: object = False
 
     def _channel_mult(self) -> Tuple[int, ...]:
         if self.channel_mult:
@@ -208,9 +227,12 @@ class UNetADM(nn.Module):
             emb = emb + nn.Embed(self.num_classes, ted, dtype=self.dtype,
                                  name="label_emb")(y)
 
-        res_block = ResBlockADM
+        import functools
+
+        rb_cls = ResBlockADM
         if self.use_checkpoint:
-            res_block = nn.remat(ResBlockADM, static_argnums=())
+            rb_cls = nn.remat(ResBlockADM, static_argnums=())
+        res_block = functools.partial(rb_cls, quant=self.quant_int8)
 
         x = x.astype(self.dtype)
         ch = int(ch_mult[0] * mc)
@@ -307,7 +329,8 @@ def create_unet_adm(image_size: int, num_channels: int, num_res_blocks: int,
                     resblock_updown: bool = False, use_fp16: bool = False,
                     use_new_attention_order: bool = False,
                     learn_sigma: bool = False,
-                    dtype=None, softmax_f32=None) -> UNetADM:
+                    dtype=None, softmax_f32=None,
+                    quant_int8=False) -> UNetADM:
     """Factory mirroring cm/script_util.create_model:102-160, including the
     "32,16,8" attention-resolution string -> downsample-rate conversion.
     ``use_fp16`` selects bf16 compute on TPU — including bf16 attention
@@ -342,6 +365,7 @@ def create_unet_adm(image_size: int, num_channels: int, num_res_blocks: int,
         use_checkpoint=use_checkpoint,
         dtype=dtype,
         softmax_f32=softmax_f32,
+        quant_int8=quant_int8,
     )
 
 

@@ -112,12 +112,13 @@ class QConv(nn.Module):
     use_bias: bool = True
     dtype: Any = jnp.bfloat16
     static_act: bool = False
+    kernel_init: Any = None
 
     @nn.compact
     def __call__(self, x):
         kh, kw = self.kernel_size
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
+            "kernel", self.kernel_init or nn.initializers.lecun_normal(),
             (kh, kw, x.shape[-1], self.features))
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)

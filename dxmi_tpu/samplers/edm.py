@@ -51,14 +51,27 @@ class KarrasDenoiser:
         return c_skip, c_out, c_in
 
     def denoise(self, net, net_params, x, sigma, y=None, *, train=False,
-                dropout_rng=None):
-        """-> (model_output, denoised x0 estimate)."""
+                dropout_rng=None, extra_vars=None, mutable=False):
+        """-> (model_output, denoised x0 estimate).
+
+        ``extra_vars``: additional variable collections (e.g. calibrated
+        'quant_scales' for int8 sampling). ``mutable``: list of
+        collections to return updated (calibration passes) — then
+        returns (out, denoised, updated_vars)."""
         dims = x.ndim
         c_skip, c_out, c_in = (s.reshape(-1, *([1] * (dims - 1)))
                                for s in self.scalings(sigma))
         rescaled_t = edm_rescaled_t(sigma)
         rngs = {"dropout": dropout_rng} if (train and dropout_rng is not None) else None
-        out = net.apply({"params": net_params}, c_in * x, rescaled_t, y,
+        variables = {"params": net_params}
+        if extra_vars:
+            variables.update(extra_vars)
+        if mutable:
+            out, upd = net.apply(variables, c_in * x, rescaled_t, y,
+                                 rngs=rngs, deterministic=not train,
+                                 mutable=mutable)
+            return out, c_out * out + c_skip * x, upd
+        out = net.apply(variables, c_in * x, rescaled_t, y,
                         rngs=rngs, deterministic=not train)
         return out, c_out * out + c_skip * x
 
@@ -106,6 +119,55 @@ class EDMSampler:
         log_betas = jnp.log(jnp.clip(self.schedule.sigma_up, 1e-3))
         return {"net": net_params, "log_betas": log_betas}
 
+    def calibrate_quant(self, params: Dict[str, Any], key: jax.Array,
+                        n_sample: int = 8, n_rounds: int = 2,
+                        i_class=None) -> Dict[str, Any]:
+        """Calibrate static activation ranges for a ``quant_int8='static'``
+        ADM net: run full-precision trajectories with the 'quant_scales'
+        collection mutable (each QConv records per-input-channel |x| max).
+        Returns params with the calibrated 'quant_scales' attached
+        (inference-only; strip before training)."""
+        x0 = jnp.zeros((1, *self.sample_shape), jnp.float32)
+        t0 = jnp.zeros((1,), jnp.float32)
+        y0 = jnp.zeros((1,), jnp.int32) if self.class_cond else None
+        scales = jax.jit(self.net.init)(
+            jax.random.fold_in(key, 999), x0, t0, y0)["quant_scales"]
+        sch = self.schedule
+        sigmas_up = self.sigmas_up_all(params)
+
+        @jax.jit
+        def calib_step(net_params, scales, x, t, y, k):
+            # net_params is an ARGUMENT, not a closure constant: baking
+            # 300M+ params into the HLO overflows the remote-compile
+            # request (PERF.md const-baking note)
+            sigma = jnp.take(sch.sigmas, t)
+            _, denoised, upd = self.diffusion.denoise(
+                self.net, net_params, x, sigma, y=y,
+                extra_vars={"quant_scales": scales},
+                mutable=["quant_scales"])
+            sb = sigma[:, None, None, None]
+            d = (x - denoised) / sb
+            dt = (jnp.take(sch.sigma_down, t) - sigma)[:, None, None, None]
+            mu = x + d * dt
+            noise = jax.random.normal(k, x.shape, dtype=x.dtype)
+            nxt = mu + noise * jnp.take(sigmas_up, t)[:, None, None, None]
+            return nxt, upd["quant_scales"]
+
+        for r in range(n_rounds):
+            key, k0, ky = jax.random.split(key, 3)
+            x = jax.random.normal(
+                k0, (n_sample, *self.sample_shape)) * self.sigma_max
+            y = None
+            if self.class_cond:
+                y = (jax.random.randint(ky, (n_sample,), 0, self.num_classes)
+                     if i_class is None
+                     else jnp.full((n_sample,), i_class, jnp.int32))
+            for i in range(self.n_timesteps):
+                key, kn = jax.random.split(key)
+                t = jnp.full((n_sample,), i, dtype=jnp.int32)
+                x, scales = calib_step(params["net"], scales, x, t, y, kn)
+        return dict(params, quant_scales=scales)
+
     def sigmas_up_all(self, params) -> jnp.ndarray:
         """Effective per-step injected-noise sigma (T,)."""
         sch = self.schedule
@@ -131,9 +193,11 @@ class EDMSampler:
         B = x.shape[0]
         t = jnp.broadcast_to(jnp.asarray(t), (B,))
         sigma = jnp.take(sch.sigmas, t)
+        extra = ({"quant_scales": params["quant_scales"]}
+                 if "quant_scales" in params else None)  # static-int8 mode
         _, denoised = self.diffusion.denoise(
             self.net, params["net"], x, sigma, y=y, train=train,
-            dropout_rng=dropout_rng)
+            dropout_rng=dropout_rng, extra_vars=extra)
 
         sigma_b = sigma[:, None, None, None]
         d = (x - denoised) / sigma_b
