@@ -110,6 +110,9 @@ def main():
     p.add_argument("--save_dir", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval_fid", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="W8A8 static-calibrated sampling (+30%% throughput "
+                        "on the CIFAR net, ~4.5%% sample drift — PERF.md)")
     p.add_argument("--cleanup", action="store_true",
                    help="delete generated PNGs after FID")
     args, unknown = p.parse_known_args()
@@ -121,7 +124,8 @@ def main():
     assert args.n_generate % args.batchsize == 0, \
         "n_generate must be a multiple of batchsize"
 
-    net = instantiate(cfg["sampler_net"])
+    net = (instantiate(cfg["sampler_net"], quant_int8="static")
+           if args.int8 else instantiate(cfg["sampler_net"]))
     sampler = instantiate(cfg["sampler"], net=net)
 
     ckpt_path = os.path.join(args.log_dir, f"sampler_{args.sampler}.msgpack")
@@ -130,6 +134,13 @@ def main():
     meta = ckpt.get("meta", {})
     if "fid" in meta:
         print0(f"checkpoint FID {meta['fid']} (epoch {meta.get('epoch')})")
+
+    if args.int8:
+        if not hasattr(sampler, "calibrate_quant"):
+            raise SystemExit("--int8 requires a sampler with calibrate_quant")
+        sampler_params = sampler.calibrate_quant(
+            sampler_params, jax.random.key(args.seed + 123))
+        print0("int8: static activation scales calibrated")
 
     trainer = None
     state = None
