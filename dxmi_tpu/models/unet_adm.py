@@ -144,9 +144,10 @@ class AttentionBlockADM(nn.Module):
 
     num_heads: int
     dtype: jnp.dtype = jnp.float32
-    # fp32 softmax matches the reference's fp16 path numerics
-    # (cm/unet.py:423 upcasts); bf16 softmax is the measured-faster
-    # TPU option (PERF.md: +6% on the CIFAR net)
+    # fp32 softmax matches the reference's fp32 path; its fp16 mode
+    # softmaxes in HALF with no upcast (QKVAttentionLegacy casts qkv,
+    # cm/unet.py:423), so bf16 softmax is the fp16-mode parity setting
+    # AND the measured-faster TPU option (PERF.md: +47% ImageNet64)
     softmax_f32: bool = True
 
     @nn.compact

@@ -124,8 +124,15 @@ def main():
     assert args.n_generate % args.batchsize == 0, \
         "n_generate must be a multiple of batchsize"
 
-    net = (instantiate(cfg["sampler_net"], quant_int8="static")
-           if args.int8 else instantiate(cfg["sampler_net"]))
+    if args.int8:
+        try:
+            net = instantiate(cfg["sampler_net"], quant_int8="static")
+        except TypeError:
+            raise SystemExit(
+                f"--int8: sampler_net {cfg['sampler_net'].get('_target_')} "
+                "has no int8 mode (supported: UNetSmall, UNetADM)")
+    else:
+        net = instantiate(cfg["sampler_net"])
     sampler = instantiate(cfg["sampler"], net=net)
 
     ckpt_path = os.path.join(args.log_dir, f"sampler_{args.sampler}.msgpack")

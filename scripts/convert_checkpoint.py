@@ -42,9 +42,15 @@ def main():
     params = out["params"]
     if "log_betas" in out:
         params = {"net": params, "log_betas": out["log_betas"]}
-    C.save_checkpoint(args.dst, params, meta={k: v for k, v in meta.items()
-                                              if isinstance(v, (int, float, str))})
-    print(f"converted {args.src} ({args.kind}) -> {args.dst}")
+    # spectral-norm checkpoints carry a 'sn_stats' collection (power-
+    # iteration u/sigma) — keep it in the artifact or the SN net can't run
+    extra = {"sn_stats": out["sn_stats"]} if "sn_stats" in out else None
+    C.save_checkpoint(args.dst, params,
+                      meta={k: v for k, v in meta.items()
+                            if isinstance(v, (int, float, str))},
+                      extra=extra)
+    print(f"converted {args.src} ({args.kind}) -> {args.dst}"
+          + (" [sn_stats kept]" if extra else ""))
 
 
 if __name__ == "__main__":

@@ -243,7 +243,8 @@ def main():
                         state, images, sk, n_generator=n_generator)
                     if (step + 1) % log_every == 0:
                         jax.block_until_ready(m_all["sampler/sampler_loss_"])
-                m_energy = m_sampler = m_all
+                # fused metrics already hold both phases' keys
+                m_energy, m_sampler = m_all, {}
                 do_log = True
             else:
                 with timer.phase("sample"):
