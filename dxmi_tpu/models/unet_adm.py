@@ -22,6 +22,7 @@ so checkpoint conversion (utils/convert.convert_unet_adm) is mechanical.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -30,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dxmi_tpu.ops import trig
+from dxmi_tpu.ops.attention import flash_available, flash_mha
 
 
 def adm_timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
@@ -149,6 +151,10 @@ class AttentionBlockADM(nn.Module):
     # cm/unet.py:423), so bf16 softmax is the fp16-mode parity setting
     # AND the measured-faster TPU option (PERF.md: +47% ImageNet64)
     softmax_f32: bool = True
+    # 'einsum' = two XLA matmuls with materialized logits (reference
+    # semantics); 'flash' = Pallas TPU flash kernel for maps where it
+    # measures faster (ops/attention.py), einsum elsewhere.
+    attn_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x):
@@ -162,11 +168,15 @@ class AttentionBlockADM(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
         scale = 1.0 / math.sqrt(math.sqrt(d))
-        acc_t = jnp.float32 if self.softmax_f32 else self.dtype
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k * scale,
-                            preferred_element_type=acc_t)
-        w = jax.nn.softmax(logits.astype(acc_t), axis=-1).astype(self.dtype)
-        a = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(B, H, W, C)
+        if self.attn_impl == "flash" and flash_available(S, d):
+            a = flash_mha(q, k, v, sm_scale=scale * scale)
+            a = a.astype(self.dtype).reshape(B, H, W, C)
+        else:
+            acc_t = jnp.float32 if self.softmax_f32 else self.dtype
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k * scale,
+                                preferred_element_type=acc_t)
+            w = jax.nn.softmax(logits.astype(acc_t), axis=-1).astype(self.dtype)
+            a = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(B, H, W, C)
         a = nn.Conv(C, (1, 1), dtype=self.dtype, kernel_init=zeros_init,
                     name="proj_out")(a)
         return x + a
@@ -197,6 +207,7 @@ class UNetADM(nn.Module):
     use_checkpoint: bool = False
     dtype: jnp.dtype = jnp.float32
     softmax_f32: bool = True
+    attn_impl: str = "einsum"  # see AttentionBlockADM
     # int8 W8A8 ResBlock convs: False | True (dynamic) | 'static'
     quant_int8: object = False
 
@@ -252,6 +263,7 @@ class UNetADM(nn.Module):
                 if ds in self.attention_resolutions:
                     h = AttentionBlockADM(self._heads(ch, False), dtype=self.dtype,
                                           softmax_f32=self.softmax_f32,
+                                          attn_impl=self.attn_impl,
                                           name=f"input_blocks_{i_block}_1")(h)
                 hs.append(h)
                 i_block += 1
@@ -277,6 +289,7 @@ class UNetADM(nn.Module):
             h, emb, deterministic=deterministic)
         h = AttentionBlockADM(self._heads(ch, False), dtype=self.dtype,
                                           softmax_f32=self.softmax_f32,
+                              attn_impl=self.attn_impl,
                               name="middle_block_1")(h)
         h = res_block(ch, self.dropout, self.use_scale_shift_norm,
                       dtype=self.dtype, name="middle_block_2")(
@@ -295,6 +308,7 @@ class UNetADM(nn.Module):
                 if ds in self.attention_resolutions:
                     h = AttentionBlockADM(self._heads(ch, True), dtype=self.dtype,
                                           softmax_f32=self.softmax_f32,
+                                          attn_impl=self.attn_impl,
                                           name=f"output_blocks_{i_block}_{j}")(h)
                     j += 1
                 if level and i == self.num_res_blocks:
@@ -331,7 +345,7 @@ def create_unet_adm(image_size: int, num_channels: int, num_res_blocks: int,
                     use_new_attention_order: bool = False,
                     learn_sigma: bool = False,
                     dtype=None, softmax_f32=None,
-                    quant_int8=False) -> UNetADM:
+                    quant_int8=False, attn_impl=None) -> UNetADM:
     """Factory mirroring cm/script_util.create_model:102-160, including the
     "32,16,8" attention-resolution string -> downsample-rate conversion.
     ``use_fp16`` selects bf16 compute on TPU — including bf16 attention
@@ -348,6 +362,18 @@ def create_unet_adm(image_size: int, num_channels: int, num_res_blocks: int,
         dtype = jnp.bfloat16 if use_fp16 else jnp.float32
     if softmax_f32 is None:
         softmax_f32 = not use_fp16
+    if attn_impl is None:
+        # Default: the Pallas flash kernel handles the big maps whenever
+        # the net runs in bf16 (measured: +5% ImageNet64 sampling, -8%
+        # train step, PERF.md; numerically CLOSER to the reference's
+        # fp32 softmax than the bf16 einsum path). flash_available still
+        # gates per-shape; einsum everywhere off-TPU. DXMI_FLASH_ATTN=0/1
+        # forces either way.
+        env = os.environ.get("DXMI_FLASH_ATTN")
+        if env is not None:
+            attn_impl = "flash" if env == "1" else "einsum"
+        else:
+            attn_impl = "flash" if use_fp16 else "einsum"
     return UNetADM(
         image_size=image_size,
         in_channels=3,
@@ -366,6 +392,7 @@ def create_unet_adm(image_size: int, num_channels: int, num_res_blocks: int,
         use_checkpoint=use_checkpoint,
         dtype=dtype,
         softmax_f32=softmax_f32,
+        attn_impl=attn_impl,
         quant_int8=quant_int8,
     )
 

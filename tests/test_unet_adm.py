@@ -141,3 +141,56 @@ class TestADMTorchParity:
                            jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t))
         ours = np.asarray(ours).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(ours, ref_out, rtol=2e-3, atol=2e-3)
+
+
+def test_attn_impl_flash_cpu_fallback():
+    """attn_impl='flash' must fall back to the einsum path off-TPU and
+    produce IDENTICAL outputs (ops/attention.flash_available gates it)."""
+    from dxmi_tpu.ops.attention import flash_available
+
+    assert not flash_available(1024, 64)  # CPU backend in tests
+    x = jax.random.normal(jax.random.key(1), (2, 16, 16, 3))
+    t = jnp.array([3.0, 7.0])
+    a = UNetADM(**TINY)
+    b = UNetADM(**TINY, attn_impl="flash")
+    params = a.init(jax.random.key(0), x, t)
+    np.testing.assert_array_equal(
+        np.asarray(a.apply(params, x, t)),
+        np.asarray(b.apply(params, x, t)))
+
+
+def test_flash_available_shape_gate():
+    from dxmi_tpu.ops import attention
+
+    # even on a TPU backend the gate rejects small/ragged maps
+    orig = attention._tpu_backend
+    attention._tpu_backend = lambda: True
+    try:
+        assert attention.flash_available(1024, 64)
+        assert attention.flash_available(512, 128)
+        assert not attention.flash_available(256, 64)   # measured: no win
+        assert not attention.flash_available(576, 64)   # not /128
+        assert not attention.flash_available(1024, 160)  # head_dim > 128
+    finally:
+        attention._tpu_backend = orig
+
+
+def test_create_factory_attn_impl_env(monkeypatch):
+    monkeypatch.setenv("DXMI_FLASH_ATTN", "1")
+    net = create_unet_adm(image_size=16, num_channels=32, num_res_blocks=1,
+                          attention_resolutions="8", channel_mult="1,2")
+    assert net.attn_impl == "flash"
+    monkeypatch.delenv("DXMI_FLASH_ATTN")
+    net = create_unet_adm(image_size=16, num_channels=32, num_res_blocks=1,
+                          attention_resolutions="8", channel_mult="1,2")
+    assert net.attn_impl == "einsum"
+    # bf16 mode defaults to flash (gated per-shape by flash_available)
+    net = create_unet_adm(image_size=16, num_channels=32, num_res_blocks=1,
+                          attention_resolutions="8", channel_mult="1,2",
+                          use_fp16=True)
+    assert net.attn_impl == "flash"
+    monkeypatch.setenv("DXMI_FLASH_ATTN", "0")
+    net = create_unet_adm(image_size=16, num_channels=32, num_res_blocks=1,
+                          attention_resolutions="8", channel_mult="1,2",
+                          use_fp16=True)
+    assert net.attn_impl == "einsum"
