@@ -62,6 +62,11 @@ class FIDState:
         self.extract_raw = extract_raw
         self.m2 = m2
         self.s2 = s2
+        # (batch, dispatch_chunk) -> jitted generate+extract program.
+        # Re-jitting per FID call would recompile the whole scanned
+        # sampler+Inception program every fid_every steps (~90 s each
+        # through the remote-compile tunnel — measured, PERF.md).
+        self._gen_cache: Dict[Tuple[int, int], Any] = {}
 
 
 def build_fid_state(weights_path: str, stats_path: str) -> FIDState:
@@ -90,15 +95,21 @@ def compute_fid_from_sampler(sampler, sampler_params, key, fid_state: FIDState,
     acts = []
     n_batches = int(np.ceil(n_samples / batch))
 
-    @jax.jit
-    def gen_chunk(p, k):
-        xs = sample_many(sampler, p, k, dispatch_chunk, batch)  # (M,B,H,W,C)
-        x01 = jnp.clip((xs + 1.0) / 2.0, 0.0, 1.0)
-        if fid_state.extract_raw is None:
-            return x01
-        # sequential map, NOT vmap: Inception at 299^2 on M*B images at
-        # once would need ~10 GB of activations
-        return jax.lax.map(fid_state.extract_raw, x01)
+    cache_key = (batch, dispatch_chunk)
+    gen_chunk = fid_state._gen_cache.get(cache_key)
+    if gen_chunk is None:
+
+        @jax.jit
+        def gen_chunk(p, k):
+            xs = sample_many(sampler, p, k, dispatch_chunk, batch)  # (M,B,H,W,C)
+            x01 = jnp.clip((xs + 1.0) / 2.0, 0.0, 1.0)
+            if fid_state.extract_raw is None:
+                return x01
+            # sequential map, NOT vmap: Inception at 299^2 on M*B images at
+            # once would need ~10 GB of activations
+            return jax.lax.map(fid_state.extract_raw, x01)
+
+        fid_state._gen_cache[cache_key] = gen_chunk
 
     done = 0
     while done < n_batches:

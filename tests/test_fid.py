@@ -47,6 +47,32 @@ def test_frechet_diagonal_closed_form():
     assert fid == pytest.approx(float(expect), rel=1e-6)
 
 
+def test_frechet_cholesky_matches_scipy():
+    """The Cholesky/eigvalsh reformulation is EXACT (same float64 math,
+    different factorization) — must agree with scipy.sqrtm to ~1e-10."""
+    rng = np.random.RandomState(7)
+    n, d = 600, 48
+    m1, s1 = S.activation_statistics(rng.randn(n, d))
+    m2, s2 = S.activation_statistics(rng.randn(n, d) * 1.3 + 0.2)
+    f_sci = S.frechet_distance(m1, s1, m2, s2, method="scipy")
+    f_cho = S.frechet_distance(m1, s1, m2, s2, method="cholesky")
+    assert f_cho == pytest.approx(f_sci, rel=1e-10)
+
+
+def test_frechet_auto_singular_fallback():
+    """Singular sigma1 (n < d) must fall back to the reference's scipy
+    eps-jitter path instead of raising."""
+    rng = np.random.RandomState(8)
+    n, d = 10, 24  # rank-deficient covariance
+    m1, s1 = S.activation_statistics(rng.randn(n, d))
+    m2, s2 = S.activation_statistics(rng.randn(100, d))
+    f_auto = S.frechet_distance(m1, s1, m2, s2, method="auto")
+    f_sci = S.frechet_distance(m1, s1, m2, s2, method="scipy")
+    assert f_auto == pytest.approx(f_sci, rel=1e-8)
+    with pytest.raises(np.linalg.LinAlgError):
+        S.frechet_distance(m1, s1, m2, s2, method="cholesky")
+
+
 def test_newton_schulz_sqrtm():
     rng = np.random.RandomState(2)
     a = rng.randn(16, 16)
