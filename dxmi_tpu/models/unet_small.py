@@ -18,6 +18,7 @@ Weight-layout conversion from the reference's PyTorch checkpoints is in
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
@@ -57,13 +58,20 @@ def swish(x: jnp.ndarray) -> jnp.ndarray:
 def _conv(quant, features, kernel_size, dtype, name,
           strides=(1, 1), padding=1, use_bias=True):
     """nn.Conv or the int8 QConv (same param tree) per the quant flag
-    (False | True = dynamic ranges | 'static' = calibrated ranges)."""
+    (False | True = dynamic ranges | 'static' = calibrated ranges).
+    DXMI_CONV_TAPS=1 swaps stride-1 3x3 convs to the 9-shifted-matmul
+    formulation (ops/conv_taps.py; param-tree identical)."""
     if quant:
         from dxmi_tpu.ops.quant import QConv
 
         return QConv(features, kernel_size, strides=strides, padding=padding,
                      use_bias=use_bias, dtype=dtype, name=name,
                      static_act=(quant == "static"))
+    if (kernel_size == (3, 3) and strides == (1, 1) and padding == 1
+            and os.environ.get("DXMI_CONV_TAPS", "0") == "1"):
+        from dxmi_tpu.ops.conv_taps import Conv3x3Taps
+
+        return Conv3x3Taps(features, use_bias=use_bias, dtype=dtype, name=name)
     return nn.Conv(features, kernel_size, strides=strides, padding=padding,
                    use_bias=use_bias, dtype=dtype, name=name)
 

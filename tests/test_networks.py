@@ -194,3 +194,20 @@ def test_igebm_spectral_norm_paths():
     out2, upd = m.apply({"params": vs["params"], "sn_stats": vs["sn_stats"]},
                         x, update_sn_stats=True, mutable=["sn_stats"])
     assert out2.shape == (2, 1) and "sn_stats" in upd
+
+
+def test_conv_taps_param_and_numeric_parity():
+    """ops/conv_taps.Conv3x3Taps must be a drop-in for nn.Conv((3,3),
+    padding=1): same param tree, same outputs (it is the recorded
+    DXMI_CONV_TAPS experiment — PERF.md negative result #3)."""
+    import flax.linen as nn
+
+    from dxmi_tpu.ops.conv_taps import Conv3x3Taps
+
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 16))
+    conv = nn.Conv(24, (3, 3), padding=1)
+    taps = Conv3x3Taps(24)
+    params = conv.init(jax.random.key(1), x)
+    np.testing.assert_allclose(np.asarray(conv.apply(params, x)),
+                               np.asarray(taps.apply(params, x)),
+                               atol=2e-5)
