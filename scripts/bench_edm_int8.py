@@ -60,10 +60,21 @@ def main():
     bench("int8 static b8", s_q, qparams)
     bench("int8 static b16", s_q, qparams, batch=16, nb=8)
 
-    # drift on a common batch (same keys, fixed class)
+    # drift on a common batch (same keys, fixed class). NOTE: at raw init
+    # the zero-initialised output convs make the net output EXACTLY zero,
+    # so fp and int8 trajectories coincide and drift reads 0.0000 —
+    # perturb the net weights so the probe actually exercises the convs.
+    leaves, tdef = jax.tree.flatten(params["net"])
+    ks = jax.random.split(jax.random.key(77), len(leaves))
+    pert = jax.tree.unflatten(
+        tdef, [l + 0.05 * jax.random.normal(k_, l.shape, l.dtype)
+               for k_, l in zip(ks, leaves)])
+    params_d = dict(params); params_d["net"] = pert
+    qparams_d = s_q.calibrate_quant(dict(params_d), jax.random.key(3),
+                                    n_sample=8, n_rounds=1, i_class=0)
     k = jax.random.key(9)
-    a = jax.jit(lambda p, kk: s_fp.sample(p, kk, 8, i_class=0)["sample"])(params, k)
-    b = jax.jit(lambda p, kk: s_q.sample(p, kk, 8, i_class=0)["sample"])(qparams, k)
+    a = jax.jit(lambda p, kk: s_fp.sample(p, kk, 8, i_class=0)["sample"])(params_d, k)
+    b = jax.jit(lambda p, kk: s_q.sample(p, kk, 8, i_class=0)["sample"])(qparams_d, k)
     a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
     print(f"sample drift vs bf16: {np.abs(a-b).mean()/(np.abs(a).mean()+1e-8):.4f}",
           flush=True)

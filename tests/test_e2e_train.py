@@ -47,3 +47,53 @@ def test_train_2d_smoke():
              "--out", "/tmp/dxmi_2d_pytest"])
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
     assert "mean log-likelihood" in r.stdout
+
+
+def _make_large_run_dir(tmp_path):
+    """Tiny ADM run dir (config.yaml + sampler_last.msgpack) for
+    generate_large e2e."""
+    import yaml
+
+    cfg = {
+        "diffusion": {"image_size": 16, "num_channels": 32,
+                      "num_res_blocks": 1, "attention_resolutions": "8",
+                      "channel_mult": "1,2", "class_cond": False,
+                      "use_fp16": False, "num_head_channels": 16},
+        "sampler": {"sample_shape": [3, 16, 16], "n_timesteps": 4,
+                    "class_cond": False, "num_classes": 0,
+                    "trainable_beta": "fix_last"},
+        "data": {"name": "imagenet64"},
+    }
+    logdir = tmp_path / "run"
+    logdir.mkdir()
+    (logdir / "config.yaml").write_text(yaml.safe_dump(cfg))
+
+    import jax
+
+    from dxmi_tpu.models.unet_adm import create_unet_adm
+    from dxmi_tpu.samplers.edm import EDMSampler, KarrasDenoiser
+    from dxmi_tpu.utils import checkpoint as ckptlib
+
+    net = create_unet_adm(**cfg["diffusion"])
+    sampler = EDMSampler(net, KarrasDenoiser(), **cfg["sampler"])
+    params = sampler.init_params(jax.random.key(0))
+    ckptlib.save_checkpoint(str(logdir / "sampler_last.msgpack"), params,
+                            meta={"iter": 0})
+    return logdir
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("int8", [False, True])
+def test_generate_large_smoke(tmp_path, int8):
+    """generate_large.py --skip_fid end-to-end (PNG streaming), plain and
+    --int8 (static calibration from the loaded checkpoint)."""
+    logdir = _make_large_run_dir(tmp_path)
+    args = ["generate_large.py", "--log_dir", str(logdir),
+            "--sampler", "last", "--n_generate", "8", "--batchsize", "8",
+            "--skip_fid"]
+    if int8:
+        args.append("--int8")
+    r = run(args)
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    pngs = list((logdir / "generated_last").glob("*.png"))
+    assert len(pngs) == 8
