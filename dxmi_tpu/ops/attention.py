@@ -56,7 +56,9 @@ def _flash_bnsd(q, k, v, sm_scale: float):
 
     B, nh, S, d = q.shape
     # One kv block (block_k = S) -> single-block fast path; whole-map q
-    # block up to 1024; block_b=2 measured best at B=8, but must divide B.
+    # block; block_b=2 measured best at B=8 (must divide B). A
+    # B-dependent refinement from the standalone sweep (bq=512/bb=1 at
+    # B>=16) measured NO in-model difference — kept simple.
     bq = min(S, 1024)
     bb = 2 if B % 2 == 0 else 1
     bs = BlockSizes(
