@@ -5,10 +5,13 @@ and JSON writers). The reference uses it for fp16 trainer diagnostics;
 here it backs ad-hoc scalar streams outside the TensorBoard path."""
 from __future__ import annotations
 
+import contextlib
 import datetime
+import functools
 import json
 import os
 import sys
+import time
 from collections import defaultdict
 from typing import Any, Dict, Optional
 
@@ -100,3 +103,30 @@ def logkv_mean(key, val):
 
 def dumpkvs():
     return get().dumpkvs()
+
+
+@contextlib.contextmanager
+def profile_kv(scopename: str):
+    """Accumulate wall time spent inside the scope into ``wait_<name>``
+    (reference /root/reference/models/cm/logger.py:294-300 — note the
+    reference ACCUMULATES with ``+=``, it does not average)."""
+    logkey = "wait_" + scopename
+    tstart = time.time()
+    try:
+        yield
+    finally:
+        lg = get()
+        lg.name2val[logkey] = lg.name2val.get(logkey, 0.0) + (
+            time.time() - tstart)
+
+
+def profile(n: str):
+    """Decorator form of :func:`profile_kv`
+    (reference models/cm/logger.py:303-317)."""
+    def decorator_with_name(func):
+        @functools.wraps(func)
+        def func_wrapper(*args, **kwargs):
+            with profile_kv(n):
+                return func(*args, **kwargs)
+        return func_wrapper
+    return decorator_with_name

@@ -39,6 +39,26 @@ def batch_run(fn: Callable, x: np.ndarray, batch_size: int = 100,
     return np.concatenate(outs) if to_numpy else outs
 
 
+def batch_run_grad(fn: Callable, x: np.ndarray, batch_size: int = 100,
+                   flatten: bool = False, **kwargs) -> np.ndarray:
+    """Per-sample input-gradient norms of a scalar-per-sample function —
+    the reference's gradient-norm uncertainty measure
+    (/root/reference/utils.py:75-99). ``fn`` maps a batch ``(B, ...)`` to
+    per-sample scalars ``(B,)``; returns ``(N,)`` of ||d fn_i / d x_i||_2.
+    JAX-native: one ``jax.grad`` through the batch (the sum trick makes
+    per-sample grads independent), chunked like :func:`batch_run`."""
+    import jax.numpy as jnp
+
+    def gnorm(chunk, **kw):
+        if flatten:
+            chunk = chunk.reshape(len(chunk), -1)
+        g = jax.grad(lambda c: jnp.sum(fn(c, **kw)))(
+            jnp.asarray(chunk, jnp.float32))
+        return jnp.sqrt(jnp.sum(g.reshape(len(g), -1) ** 2, axis=1))
+
+    return batch_run(gnorm, x, batch_size=batch_size, **kwargs)
+
+
 def weight_norm(params) -> float:
     """Global L2 norm of a parameter pytree."""
     return float(np.sqrt(sum(

@@ -209,3 +209,40 @@ def test_train_state_save_restore(tmp_path):
     assert meta == {"i_iter": 17, "epoch": 3, "best_fid": 12.5}
     for a, b_ in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-6)
+
+
+def test_profile_kv_accumulates():
+    import time as _time
+    from dxmi_tpu.utils import kvlogger as kvl
+
+    lg = kvl.get()
+    lg.name2val.pop("wait_scope", None)
+    with kvl.profile_kv("scope"):
+        _time.sleep(0.01)
+    with kvl.profile_kv("scope"):
+        _time.sleep(0.01)
+    # reference semantics: += accumulation, not mean
+    assert lg.name2val["wait_scope"] >= 0.02
+
+    @kvl.profile("deco")
+    def f(a):
+        return a + 1
+
+    assert f(1) == 2
+    assert lg.name2val["wait_deco"] >= 0.0
+    lg.name2val.clear()
+    lg.name2cnt.clear()
+
+
+def test_batch_run_grad():
+    from dxmi_tpu.utils.misc import batch_run_grad
+
+    # fn(x) = 0.5 * ||x_i||^2 per sample -> grad = x_i -> norm = ||x_i||
+    def energy(x):
+        return 0.5 * jnp.sum(x.reshape(len(x), -1) ** 2, axis=1)
+
+    x = np.random.RandomState(0).randn(10, 4, 4).astype(np.float32)
+    g = batch_run_grad(energy, x, batch_size=4)
+    expect = np.linalg.norm(x.reshape(10, -1), axis=1)
+    assert g.shape == (10,)
+    np.testing.assert_allclose(g, expect, rtol=1e-5)
