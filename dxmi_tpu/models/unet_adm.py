@@ -32,6 +32,7 @@ import numpy as np
 
 from dxmi_tpu.ops import trig
 from dxmi_tpu.ops.attention import flash_available, flash_mha
+from dxmi_tpu.ops.attn_block import fused_attn_available, fused_attn_block
 
 
 def adm_timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
@@ -153,7 +154,10 @@ class AttentionBlockADM(nn.Module):
     softmax_f32: bool = True
     # 'einsum' = two XLA matmuls with materialized logits (reference
     # semantics); 'flash' = Pallas TPU flash kernel for maps where it
-    # measures faster (ops/attention.py), einsum elsewhere.
+    # measures faster (ops/attention.py), einsum elsewhere; 'fused' = the
+    # whole block (GN+qkv+MHA+proj+residual) as ONE Pallas kernel
+    # (ops/attn_block.py) where its gate admits the shape, degrading to
+    # flash/einsum elsewhere.
     attn_impl: str = "einsum"
 
     @nn.compact
@@ -162,13 +166,24 @@ class AttentionBlockADM(nn.Module):
         S = H * W
         nh = self.num_heads
         d = C // nh
+        if self.attn_impl == "fused" and fused_attn_available(S, C, nh):
+            from dxmi_tpu.models.unet_small import _ConvHolder, _GNHolder
+
+            gs, gb = _GNHolder(name="norm")(C)
+            kqkv, bqkv = _ConvHolder(3 * C, (1, 1), name="qkv")(C)
+            kproj, bproj = _ConvHolder(C, (1, 1), kernel_init=zeros_init,
+                                       name="proj_out")(C)
+            y = fused_attn_block(x.reshape(B, S, C).astype(self.dtype),
+                                 gs, gb, kqkv.reshape(C, 3 * C), bqkv,
+                                 kproj.reshape(C, C), bproj, nh)
+            return y.reshape(B, H, W, C)
         h = GroupNormADM(dtype=self.dtype, name="norm")(x)
         qkv = nn.Conv(3 * C, (1, 1), dtype=self.dtype, name="qkv")(h)
         qkv = qkv.reshape(B, S, 3, nh, d)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
         scale = 1.0 / math.sqrt(math.sqrt(d))
-        if self.attn_impl == "flash" and flash_available(S, d):
+        if self.attn_impl in ("flash", "fused") and flash_available(S, d):
             a = flash_mha(q, k, v, sm_scale=scale * scale)
             a = a.astype(self.dtype).reshape(B, H, W, C)
         else:
@@ -369,11 +384,16 @@ def create_unet_adm(image_size: int, num_channels: int, num_res_blocks: int,
         # fp32 softmax than the bf16 einsum path). flash_available still
         # gates per-shape; einsum everywhere off-TPU. DXMI_FLASH_ATTN=0/1
         # forces either way.
-        env = os.environ.get("DXMI_FLASH_ATTN")
-        if env is not None:
-            attn_impl = "flash" if env == "1" else "einsum"
+        # DXMI_FUSED_ATTN=1 opts the big maps into the whole-block fused
+        # kernel (ops/attn_block.py), degrading to flash/einsum per shape.
+        if os.environ.get("DXMI_FUSED_ATTN") == "1":
+            attn_impl = "fused"
         else:
-            attn_impl = "flash" if use_fp16 else "einsum"
+            env = os.environ.get("DXMI_FLASH_ATTN")
+            if env is not None:
+                attn_impl = "flash" if env == "1" else "einsum"
+            else:
+                attn_impl = "flash" if use_fp16 else "einsum"
     return UNetADM(
         image_size=image_size,
         in_channels=3,

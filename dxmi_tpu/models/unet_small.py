@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import math
 import os
-from typing import Any, Sequence, Tuple
+from typing import Any, Callable, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -134,11 +134,12 @@ class _ConvHolder(nn.Module):
 
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
+    kernel_init: Callable = nn.initializers.lecun_normal()
 
     @nn.compact
     def __call__(self, C_in: int):
         kh, kw = self.kernel_size
-        k = self.param("kernel", nn.initializers.lecun_normal(),
+        k = self.param("kernel", self.kernel_init,
                        (kh, kw, C_in, self.features))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         return k, b

@@ -1,0 +1,226 @@
+"""Fused ADM attention block — GN(32) + qkv 1x1 + MHA + proj 1x1 +
+residual as ONE Pallas TPU kernel (forward path).
+
+Reference semantics: cm/unet.py:263-378 (AttentionBlock: GroupNorm32 ->
+qkv 1x1 conv -> QKVAttentionLegacy with scale = 1/sqrt(sqrt(d)) applied
+to BOTH q and k, fp32 softmax -> zero-init proj 1x1 -> residual add).
+
+Why fuse: the XLA path executes the block as ~8 HBM round-trips (GN
+read/write, qkv conv read/write, the BNSD transposes the flash kernel
+needs for q/k/v, attention out, proj read/write, residual) and at the
+ImageNet64/LSUN map shapes every one of those tensors is (S, C)…(S, 3C)
+— the block is bandwidth-bound, not FLOP-bound (PERF.md: post-flash
+decomposition shows the blocks cost ~30% of the step with the flash core
+already optimal; the remainder IS this traffic).  The fused kernel reads
+x once and writes the residual sum once; everything between lives in
+VMEM.
+
+Design notes (TPU):
+- grid = (B,): one program per batch element; at the gated shapes the
+  whole working set (x, h, q/k/v, per-tile logits, out, weights) fits
+  the ~16 MB VMEM budget.
+- GroupNorm stats via two mask matmuls on the MXU: ``x @ M`` with
+  ``M[c, g] = 1/(S*C_g)`` gives per-group sums without any reshape to a
+  (S, G, C/G) layout (whose trailing dim C/G=12 would fight the 128-lane
+  tiling); the (1, G) stats broadcast back to channels through a one-hot
+  expansion matmul.  Extra FLOPs: 2*S*C*G ≈ 0.3% of the qkv matmul.
+- logits are computed in q-row tiles of 256 so the fp32 score tile stays
+  (256, S) ≤ 1 MB; softmax is row-local so tiling is exact, not an
+  online approximation.
+- softmax in fp32 (reference parity), q/k/v matmuls accumulate fp32 on
+  the MXU and carry bf16 between ops — same numerics class as the flash
+  path (measured 0.3% rel. drift = bf16 noise, PERF.md).
+
+Backward: ``fused_attn_block`` carries a ``jax.custom_vjp`` whose
+backward recomputes the block with the pure-JAX reference implementation
+(``attn_block_reference``) and differentiates that — so the op is safe
+to use anywhere, while training paths keep the flash kernel's fused
+backward by default (kernel-policy note in PERF.md).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+
+def _tpu_backend() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def fused_attn_available(seq_len: int, channels: int, num_heads: int) -> bool:
+    """Gate: shapes where the fused kernel is correct AND measured to fit.
+
+    - S a multiple of 128 (q-row tiles + lane tiling), S >= 256 (below
+      that the block is too small for the dispatch to matter),
+    - head_dim <= 128 and C % num_heads == 0,
+    - working set bound: S*C <= 1024*384 covers the ImageNet64 ds2 map
+      and the LSUN ds8 map without VMEM pressure.
+    """
+    if channels % num_heads:
+        return False
+    d = channels // num_heads
+    return (seq_len >= 256 and seq_len % 128 == 0 and d <= 128
+            and seq_len * channels <= 1024 * 384)
+
+
+def attn_block_reference(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
+                         num_heads: int, eps: float = 1e-5):
+    """Pure-JAX reference of the fused block (same math as
+    AttentionBlockADM's einsum path with fp32 softmax). x: (B, S, C)."""
+    B, S, C = x.shape
+    nh = num_heads
+    d = C // nh
+    xf = x.astype(jnp.float32)
+    g = xf.reshape(B, S, 32, C // 32)
+    mean = g.mean(axis=(1, 3), keepdims=True)
+    var = g.var(axis=(1, 3), keepdims=True)
+    h = ((g - mean) * jax.lax.rsqrt(var + eps)).reshape(B, S, C)
+    h = (h * gn_scale + gn_bias).astype(x.dtype)
+    qkv = (jnp.einsum("bsc,cf->bsf", h, w_qkv.astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+           .astype(x.dtype) + b_qkv.astype(x.dtype))
+    qkv = qkv.reshape(B, S, 3, nh, d)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    scale = 1.0 / math.sqrt(math.sqrt(d))
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k * scale,
+                        preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+    a = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(B, S, C)
+    y = (jnp.einsum("bsc,cf->bsf", a, w_proj.astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+         .astype(x.dtype) + b_proj.astype(x.dtype))
+    return x + y
+
+
+def _kernel(x_ref, gs_ref, gb_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
+            bv_ref, wp_ref, bp_ref, m_ref, e_ref, o_ref, *, nh: int,
+            eps: float, qb: int):
+    x = x_ref[0]                                    # (S, C)
+    S, C = x.shape
+    d = C // nh
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+
+    # GroupNorm(32) stats, fp32, via mask matmuls (see module docstring)
+    sums = jnp.dot(xf, m_ref[:], preferred_element_type=jnp.float32)
+    mean_g = jnp.sum(sums, axis=0, keepdims=True)            # (1, G)
+    sq = jnp.dot(xf * xf, m_ref[:], preferred_element_type=jnp.float32)
+    var_g = jnp.sum(sq, axis=0, keepdims=True) - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.dot(mean_g, e_ref[:], preferred_element_type=jnp.float32)
+    inv_c = jnp.dot(inv_g, e_ref[:], preferred_element_type=jnp.float32)
+    s_c = gs_ref[:] * inv_c                                  # (1, C) fp32
+    t_c = gb_ref[:] - mean_c * s_c
+    h = (xf * s_c + t_c).astype(dt)
+
+    q = (jnp.dot(h, wq_ref[:], preferred_element_type=jnp.float32)
+         .astype(dt) + bq_ref[:].astype(dt))
+    k = (jnp.dot(h, wk_ref[:], preferred_element_type=jnp.float32)
+         .astype(dt) + bk_ref[:].astype(dt))
+    v = (jnp.dot(h, wv_ref[:], preferred_element_type=jnp.float32)
+         .astype(dt) + bv_ref[:].astype(dt))
+
+    scale = 1.0 / math.sqrt(math.sqrt(d))
+    heads = []
+    for i in range(nh):
+        qh = q[:, i * d:(i + 1) * d] * jnp.asarray(scale, dt)
+        kh = k[:, i * d:(i + 1) * d] * jnp.asarray(scale, dt)
+        vh = v[:, i * d:(i + 1) * d]
+        tiles = []
+        for r0 in range(0, S, qb):
+            lg = jax.lax.dot_general(
+                qh[r0:r0 + qb], kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (qb, S) fp32
+            w = jax.nn.softmax(lg, axis=-1).astype(dt)
+            tiles.append(jnp.dot(w, vh,
+                                 preferred_element_type=jnp.float32)
+                         .astype(dt))
+        heads.append(jnp.concatenate(tiles, axis=0) if len(tiles) > 1
+                     else tiles[0])
+    a = jnp.concatenate(heads, axis=1) if nh > 1 else heads[0]   # (S, C)
+
+    y = (jnp.dot(a, wp_ref[:], preferred_element_type=jnp.float32)
+         .astype(dt) + bp_ref[:].astype(dt))
+    o_ref[0] = x + y
+
+
+def _group_mats(C: int, S: int, groups: int = 32):
+    cg = C // groups
+    gid = np.arange(C) // cg
+    m = np.zeros((C, groups), np.float32)
+    m[np.arange(C), gid] = 1.0 / (S * cg)
+    e = np.zeros((groups, C), np.float32)
+    e[gid, np.arange(C)] = 1.0
+    return jnp.asarray(m), jnp.asarray(e)
+
+
+def _pallas_forward(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
+                    nh: int, eps: float, interpret: bool):
+    B, S, C = x.shape
+    # split the head-interleaved qkv conv weights into q/k/v planes on the
+    # host side (channel layout [3, nh, d], cm/unet.py qkv reshape)
+    wq, wk, wv = (w_qkv[:, i * C:(i + 1) * C] for i in range(3))
+    bq, bk, bv = (b_qkv[i * C:(i + 1) * C].reshape(1, C) for i in range(3))
+    m, e = _group_mats(C, S)
+    qb = min(S, 256)
+
+    vec = pl.BlockSpec((1, C), lambda b: (0, 0))
+    mat = pl.BlockSpec((C, C), lambda b: (0, 0))
+    return pl.pallas_call(
+        functools.partial(_kernel, nh=nh, eps=eps, qb=qb),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, S, C), lambda b: (b, 0, 0)),
+            vec, vec,                     # gn scale/bias
+            mat, mat, mat,                # wq wk wv
+            vec, vec, vec,                # bq bk bv
+            mat, vec,                     # wp bp
+            pl.BlockSpec((C, 32), lambda b: (0, 0)),
+            pl.BlockSpec((32, C), lambda b: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, S, C), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, S, C), x.dtype),
+        interpret=interpret,
+    )(x, gn_scale.reshape(1, C).astype(jnp.float32),
+      gn_bias.reshape(1, C).astype(jnp.float32),
+      wq.astype(x.dtype), wk.astype(x.dtype), wv.astype(x.dtype),
+      bq.astype(x.dtype), bk.astype(x.dtype), bv.astype(x.dtype),
+      w_proj.astype(x.dtype), b_proj.reshape(1, C).astype(x.dtype), m, e)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_op(nh: int, eps: float, interpret: bool):
+    @jax.custom_vjp
+    def op(x, gs, gb, wq, bq, wp, bp):
+        return _pallas_forward(x, gs, gb, wq, bq, wp, bp, nh, eps, interpret)
+
+    def fwd(x, gs, gb, wq, bq, wp, bp):
+        return op(x, gs, gb, wq, bq, wp, bp), (x, gs, gb, wq, bq, wp, bp)
+
+    def bwd(res, ct):
+        ref = functools.partial(attn_block_reference, num_heads=nh, eps=eps)
+        _, vjp = jax.vjp(ref, *res)
+        return vjp(ct)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def fused_attn_block(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
+                     num_heads: int, eps: float = 1e-5,
+                     interpret: bool | None = None):
+    """Run the fused attention block. x: (B, S, C); w_qkv: (C, 3C) with
+    [3, nh, d] output-channel layout; w_proj: (C, C).  Differentiable
+    (backward recomputes via the pure-JAX reference)."""
+    if interpret is None:
+        interpret = not _tpu_backend()
+    return _make_op(int(num_heads), float(eps), bool(interpret))(
+        x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj)

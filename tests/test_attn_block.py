@@ -1,0 +1,89 @@
+"""Fused attention-block kernel: numerics vs the pure-JAX reference and
+vs AttentionBlockADM's einsum path (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dxmi_tpu.ops.attn_block import (attn_block_reference, fused_attn_block,
+                                     fused_attn_available)
+
+
+def _mk(B=2, S=256, C=128, nh=2, dtype=jnp.float32, seed=0):
+    ks = jax.random.split(jax.random.key(seed), 8)
+    x = jax.random.normal(ks[0], (B, S, C), dtype)
+    gs = 1.0 + 0.1 * jax.random.normal(ks[1], (C,), jnp.float32)
+    gb = 0.1 * jax.random.normal(ks[2], (C,), jnp.float32)
+    wq = jax.random.normal(ks[3], (C, 3 * C), jnp.float32) / np.sqrt(C)
+    bq = 0.02 * jax.random.normal(ks[4], (3 * C,), jnp.float32)
+    wp = jax.random.normal(ks[5], (C, C), jnp.float32) / np.sqrt(C)
+    bp = 0.02 * jax.random.normal(ks[6], (C,), jnp.float32)
+    return x, gs, gb, wq, bq, wp, bp
+
+
+def test_gate():
+    assert fused_attn_available(1024, 384, 6)      # ImageNet64 ds2
+    assert fused_attn_available(256, 768, 12)      # LSUN ds16? (S=256)
+    assert not fused_attn_available(64, 768, 12)   # tiny map
+    assert not fused_attn_available(1024, 768, 12) # VMEM bound
+    assert not fused_attn_available(100, 128, 2)   # S % 128
+
+
+def test_fused_matches_reference_fp32():
+    args = _mk()
+    ref = attn_block_reference(*args, num_heads=2)
+    out = fused_attn_block(*args, num_heads=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_matches_reference_bf16():
+    args = _mk(dtype=jnp.bfloat16, seed=1)
+    ref = attn_block_reference(*args, num_heads=2)
+    out = fused_attn_block(*args, num_heads=2, interpret=True)
+    err = (np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
+           .mean() / (np.abs(np.asarray(ref, np.float32)).mean() + 1e-8))
+    assert err < 2e-2, err
+
+
+def test_fused_grad_via_reference():
+    args = _mk(S=128, C=64, nh=1, seed=2)
+    # S=128 fails the availability gate but the kernel itself still runs;
+    # grad correctness is what's under test here
+    def loss_f(fn):
+        def f(*a):
+            return jnp.sum(fn(*a) ** 2)
+        return f
+
+    g_ref = jax.grad(loss_f(lambda *a: attn_block_reference(*a, num_heads=1)),
+                     argnums=(0, 1, 3))(*args)
+    g_fus = jax.grad(loss_f(lambda *a: fused_attn_block(*a, num_heads=1,
+                                                        interpret=True)),
+                     argnums=(0, 1, 3))(*args)
+    for a, b in zip(g_ref, g_fus):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_attention_block_adm_fused_param_tree_and_numerics():
+    """attn_impl='fused' must keep the exact nn.Conv/GroupNorm param tree
+    (checkpoint compatibility) and match the einsum path numerically."""
+    from dxmi_tpu.models.unet_adm import AttentionBlockADM
+
+    B, H, W, C, nh = 2, 16, 16, 128, 2          # S=256 passes the gate
+    x = jax.random.normal(jax.random.key(0), (B, H, W, C), jnp.float32)
+    ein = AttentionBlockADM(num_heads=nh, attn_impl="einsum")
+    fus = AttentionBlockADM(num_heads=nh, attn_impl="fused")
+    p = ein.init(jax.random.key(1), x)["params"]
+    p_f = fus.init(jax.random.key(1), x)["params"]
+    assert jax.tree.structure(p) == jax.tree.structure(p_f)
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(p_f)):
+        assert a.shape == b.shape
+
+    # proj_out is zero-init -> block is identity at init; perturb
+    p = jax.tree.map(
+        lambda a: a + 0.02 * jax.random.normal(jax.random.key(2), a.shape),
+        p)
+    out_e = ein.apply({"params": p}, x)
+    out_f = fus.apply({"params": p}, x)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_e),
+                               rtol=2e-4, atol=2e-4)
