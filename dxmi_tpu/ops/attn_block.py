@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -61,14 +62,21 @@ def fused_attn_available(seq_len: int, channels: int, num_heads: int) -> bool:
     - S a multiple of 128 (q-row tiles + lane tiling), S >= 256 (below
       that the block is too small for the dispatch to matter),
     - head_dim <= 128 and C % num_heads == 0,
-    - working set bound: S*C <= 1024*384 covers the ImageNet64 ds2 map
-      and the LSUN ds8 map without VMEM pressure.
+    - working set bounds: S*C <= 1024*384 (activations) and C <= 768
+      (the four CxC weight mats alone are 8 MB at C=1024) keep the
+      program inside the ~16 MB VMEM budget; covers the ImageNet64
+      ds2/ds4 maps.
     """
     if channels % num_heads:
         return False
+    if not (_tpu_backend()
+            or os.environ.get("DXMI_FUSED_ATTN_FORCE") == "1"):
+        # off-TPU the kernel only exists in interpret mode (tests force
+        # it; production CPU paths take the einsum fallback)
+        return False
     d = channels // num_heads
     return (seq_len >= 256 and seq_len % 128 == 0 and d <= 128
-            and seq_len * channels <= 1024 * 384)
+            and channels <= 768 and seq_len * channels <= 1024 * 384)
 
 
 def attn_block_reference(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,

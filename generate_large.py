@@ -47,7 +47,13 @@ def main():
     p.add_argument("--int8", action="store_true",
                    help="int8 W8A8 sampling: static activation scales "
                         "calibrated from the loaded checkpoint "
-                        "(+21%% ImageNet64 at batch 16, PERF.md)")
+                        "(with the fused attention block: 73.5 img/s "
+                        "ImageNet64 at batch 16, PERF.md)")
+    p.add_argument("--attn_impl", default="fused",
+                   choices=["fused", "flash", "einsum"],
+                   help="attention path for generation; 'fused' = the "
+                        "whole-block Pallas kernel (+15%% over flash, "
+                        "PERF.md), degrading per-shape to flash/einsum")
     args, unknown = p.parse_known_args()
 
     cfg = cfglib.load_yaml(os.path.join(args.log_dir, "config.yaml"))
@@ -59,7 +65,8 @@ def main():
     sigma_max = dcfg.pop("sigma_max", 80.0)
     dcfg.pop("weight_schedule", None)
     distillation = dcfg.pop("distillation", False)
-    net = create_unet_adm(**dcfg, quant_int8="static" if args.int8 else False)
+    net = create_unet_adm(**dcfg, quant_int8="static" if args.int8 else False,
+                          attn_impl=args.attn_impl)
     denoiser = KarrasDenoiser(sigma_min=sigma_min, sigma_max=sigma_max,
                               distillation=distillation)
     sampler = EDMSampler(net, denoiser, **cfg["sampler"])

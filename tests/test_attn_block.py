@@ -20,12 +20,17 @@ def _mk(B=2, S=256, C=128, nh=2, dtype=jnp.float32, seed=0):
     return x, gs, gb, wq, bq, wp, bp
 
 
-def test_gate():
+def test_gate(monkeypatch):
+    monkeypatch.setenv("DXMI_FUSED_ATTN_FORCE", "1")
     assert fused_attn_available(1024, 384, 6)      # ImageNet64 ds2
-    assert fused_attn_available(256, 768, 12)      # LSUN ds16? (S=256)
+    assert fused_attn_available(256, 768, 12)      # LSUN S=256 map
     assert not fused_attn_available(64, 768, 12)   # tiny map
     assert not fused_attn_available(1024, 768, 12) # VMEM bound
     assert not fused_attn_available(100, 128, 2)   # S % 128
+    monkeypatch.delenv("DXMI_FUSED_ATTN_FORCE")
+    import dxmi_tpu.ops.attn_block as ab
+    if not ab._tpu_backend():
+        assert not fused_attn_available(1024, 384, 6)  # CPU: einsum path
 
 
 def test_fused_matches_reference_fp32():
@@ -64,9 +69,10 @@ def test_fused_grad_via_reference():
                                    rtol=1e-4, atol=1e-4)
 
 
-def test_attention_block_adm_fused_param_tree_and_numerics():
+def test_attention_block_adm_fused_param_tree_and_numerics(monkeypatch):
     """attn_impl='fused' must keep the exact nn.Conv/GroupNorm param tree
     (checkpoint compatibility) and match the einsum path numerically."""
+    monkeypatch.setenv("DXMI_FUSED_ATTN_FORCE", "1")
     from dxmi_tpu.models.unet_adm import AttentionBlockADM
 
     B, H, W, C, nh = 2, 16, 16, 128, 2          # S=256 passes the gate
