@@ -197,10 +197,37 @@ class AttnBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     softmax_f32: bool = True
     quant: bool = False
+    # 'einsum' = reference semantics (two XLA matmuls, materialized
+    # logits); 'fused' = the whole block (GN+q/k/v+attention+proj+
+    # residual) as ONE Pallas kernel (ops/attn_block.py, single-head
+    # d=C path) where its gate admits the shape. int8 nets keep the
+    # einsum path (the fused kernel runs its 1x1s in the compute dtype
+    # and would drop the QConv quant_scales from the param tree).
+    attn_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from dxmi_tpu.ops.attn_block import (fused_attn_available,
+                                             fused_attn_block)
+
         B, H, W, C = x.shape
+        if (self.attn_impl == "fused" and not self.quant
+                and fused_attn_available(H * W, C, 1)):
+            S = H * W
+            gs, gb = _GNHolder(name="norm")(C)
+            kq, bq = _ConvHolder(C, (1, 1), name="q")(C)
+            kk, bk = _ConvHolder(C, (1, 1), name="k")(C)
+            kv, bv = _ConvHolder(C, (1, 1), name="v")(C)
+            kp, bp = _ConvHolder(C, (1, 1), name="proj_out")(C)
+            # kernel scale convention: (d**-0.25 on q)·(d**-0.25 on k)
+            # = C**-0.5 at nh=1 — exactly the reference's logit scale
+            w_qkv = jnp.concatenate(
+                [kq.reshape(C, C), kk.reshape(C, C), kv.reshape(C, C)], axis=1)
+            b_qkv = jnp.concatenate([bq, bk, bv])
+            y = fused_attn_block(x.reshape(B, S, C).astype(self.dtype),
+                                 gs, gb, w_qkv, b_qkv, kp.reshape(C, C), bp,
+                                 num_heads=1, eps=1e-6)
+            return y.reshape(B, H, W, C)
         h = GroupNorm32(dtype=self.dtype, name="norm")(x)
         q = _conv(self.quant, C, (1, 1), self.dtype, "q", padding=0)(h).reshape(B, H * W, C)
         k = _conv(self.quant, C, (1, 1), self.dtype, "k", padding=0)(h).reshape(B, H * W, C)
@@ -273,6 +300,8 @@ class UNetSmall(nn.Module):
     # VARSampler.calibrate_quant first).
     quant_int8: Any = False
     fuse_gn_conv: bool = False
+    # attention implementation: see AttnBlock.attn_impl
+    attn_impl: str = 'einsum'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
@@ -297,7 +326,7 @@ class UNetSmall(nn.Module):
                                 name=f"down_{i_level}_block_{i_block}")(
                     hs[-1], temb, deterministic=deterministic)
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=self.quant_int8,
+                    h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=self.quant_int8, attn_impl=self.attn_impl,
                                   name=f"down_{i_level}_attn_{i_block}")(h)
                 hs.append(h)
             if i_level != num_resolutions - 1:
@@ -309,7 +338,7 @@ class UNetSmall(nn.Module):
         h = hs[-1]
         h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype, quant=self.quant_int8, fuse_gn_conv=self.fuse_gn_conv,
                         name="mid_block_1")(h, temb, deterministic=deterministic)
-        h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=self.quant_int8, name="mid_attn_1")(h)
+        h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=self.quant_int8, attn_impl=self.attn_impl, name="mid_attn_1")(h)
         h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype, quant=self.quant_int8, fuse_gn_conv=self.fuse_gn_conv,
                         name="mid_block_2")(h, temb, deterministic=deterministic)
 
@@ -322,7 +351,7 @@ class UNetSmall(nn.Module):
                     jnp.concatenate([h, hs.pop()], axis=-1), temb,
                     deterministic=deterministic)
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=self.quant_int8,
+                    h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=self.quant_int8, attn_impl=self.attn_impl,
                                   name=f"up_{i_level}_attn_{i_block}")(h)
             if i_level != 0:
                 h = Upsample(self.resamp_with_conv, dtype=self.dtype, quant=self.quant_int8,
@@ -352,6 +381,8 @@ class UNetSmallEncoder(nn.Module):
     softmax_f32: bool = True
     quant_int8: bool = False
     fuse_gn_conv: bool = False
+    # attention implementation: see AttnBlock.attn_impl
+    attn_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
@@ -374,7 +405,7 @@ class UNetSmallEncoder(nn.Module):
                                 name=f"down_{i_level}_block_{i_block}")(
                     h, temb, deterministic=deterministic)
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=self.quant_int8,
+                    h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=self.quant_int8, attn_impl=self.attn_impl,
                                   name=f"down_{i_level}_attn_{i_block}")(h)
             if i_level != num_resolutions - 1:
                 h = Downsample(self.resamp_with_conv, dtype=self.dtype, quant=self.quant_int8,
@@ -383,7 +414,7 @@ class UNetSmallEncoder(nn.Module):
 
         h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype, quant=self.quant_int8, fuse_gn_conv=self.fuse_gn_conv,
                         name="mid_block_1")(h, temb, deterministic=deterministic)
-        h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=self.quant_int8, name="mid_attn_1")(h)
+        h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=self.quant_int8, attn_impl=self.attn_impl, name="mid_attn_1")(h)
         h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype, quant=self.quant_int8, fuse_gn_conv=self.fuse_gn_conv,
                         name="mid_block_2")(h, temb, deterministic=deterministic)
 

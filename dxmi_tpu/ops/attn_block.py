@@ -59,9 +59,12 @@ def _tpu_backend() -> bool:
 def fused_attn_available(seq_len: int, channels: int, num_heads: int) -> bool:
     """Gate: shapes where the fused kernel is correct AND measured to fit.
 
-    - S a multiple of 128 (q-row tiles + lane tiling), S >= 256 (below
-      that the block is too small for the dispatch to matter),
-    - head_dim <= 128 and C % num_heads == 0,
+    - S a multiple of 64 (q-row tiles + sublane tiling); S=64 (the ds8
+      maps, 8 blocks on ImageNet64) measured +1.4% on top of the big-map
+      win (scripts/bench_fused_s64.py),
+    - head_dim <= 256 and C % num_heads == 0 (the kernel's per-head
+      matmuls are plain dot_generals, so d is VMEM-bounded, not
+      lane-bounded; d=256 is the single-head CIFAR S=256 C=256 map),
     - working set bounds: S*C <= 1024*384 (activations) and C <= 768
       (the four CxC weight mats alone are 8 MB at C=1024) keep the
       program inside the ~16 MB VMEM budget; covers the ImageNet64
@@ -75,7 +78,7 @@ def fused_attn_available(seq_len: int, channels: int, num_heads: int) -> bool:
         # it; production CPU paths take the einsum fallback)
         return False
     d = channels // num_heads
-    return (seq_len >= 256 and seq_len % 128 == 0 and d <= 128
+    return (seq_len >= 64 and seq_len % 64 == 0 and d <= 256
             and channels <= 768 and seq_len * channels <= 1024 * 384)
 
 

@@ -24,9 +24,10 @@ def test_gate(monkeypatch):
     monkeypatch.setenv("DXMI_FUSED_ATTN_FORCE", "1")
     assert fused_attn_available(1024, 384, 6)      # ImageNet64 ds2
     assert fused_attn_available(256, 768, 12)      # LSUN S=256 map
-    assert not fused_attn_available(64, 768, 12)   # tiny map
+    assert fused_attn_available(64, 768, 12)       # ds8 map (S=64)
     assert not fused_attn_available(1024, 768, 12) # VMEM bound
-    assert not fused_attn_available(100, 128, 2)   # S % 128
+    assert not fused_attn_available(256, 1024, 16) # weight VMEM bound
+    assert not fused_attn_available(100, 128, 2)   # S % 64
     monkeypatch.delenv("DXMI_FUSED_ATTN_FORCE")
     import dxmi_tpu.ops.attn_block as ab
     if not ab._tpu_backend():
@@ -67,6 +68,30 @@ def test_fused_grad_via_reference():
     for a, b in zip(g_ref, g_fus):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_unet_small_attn_fused_param_tree_and_numerics(monkeypatch):
+    """UNetSmall's single-head AttnBlock (d=C=256, eps=1e-6) under
+    attn_impl='fused': same param tree as the einsum path and matching
+    numerics (separate q/k/v conv weights concatenated into the kernel's
+    qkv plane layout)."""
+    monkeypatch.setenv("DXMI_FUSED_ATTN_FORCE", "1")
+    from dxmi_tpu.models.unet_small import AttnBlock
+
+    B, H, W, C = 2, 16, 16, 256                 # the CIFAR attention map
+    x = jax.random.normal(jax.random.key(0), (B, H, W, C), jnp.float32)
+    ein = AttnBlock(attn_impl="einsum")
+    fus = AttnBlock(attn_impl="fused")
+    p = ein.init(jax.random.key(1), x)["params"]
+    p_f = fus.init(jax.random.key(1), x)["params"]
+    assert jax.tree.structure(p) == jax.tree.structure(p_f)
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(p_f)):
+        assert a.shape == b.shape
+
+    out_e = ein.apply({"params": p}, x)
+    out_f = fus.apply({"params": p}, x)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_e),
+                               rtol=2e-4, atol=2e-4)
 
 
 def test_attention_block_adm_fused_param_tree_and_numerics(monkeypatch):
