@@ -84,7 +84,8 @@ class DxMITrainer:
                  sigma_scale: Optional[float] = None,
                  time_cost_sig_center: Optional[int] = None,
                  skip_running_last: bool = False,
-                 aug=None):
+                 aug=None,
+                 sample_chunks: int = 1):
         self.batchsize = int(batchsize)
         self.n_timesteps = int(n_timesteps)
         self.tau1 = float(tau1)
@@ -115,6 +116,11 @@ class DxMITrainer:
         # (trainer.py:478 stores it, nothing reads it)
         self.skip_running_last = skip_running_last
         self.aug = aug  # optional non-leaking augmentation hook
+        # trajectory sampling in chunks of batchsize/n inside the jitted
+        # step — the per-chunk batch rides the measured throughput
+        # optimum (samplers.sample_chunked; +9% on the sampling phase at
+        # 128 -> 2x64). 1 = off (reference-shaped single batch).
+        self.sample_chunks = int(sample_chunks)
         # policy-gradient clip: DxMI_Trainer clips to 0.1 (trainer.py:388);
         # the Cond/mixed-precision path does not clip
         self.sampler_grad_clip: Optional[float] = 0.1
@@ -301,12 +307,15 @@ class DxMITrainer:
                          n_generator: int):
         from dxmi_tpu.trainers import buffer as buflib
 
+        from dxmi_tpu.samplers import sample_chunked
+
         k1, k2, k3 = jax.random.split(key, 3)
         if y is None:
-            d = self.sampler.sample(state.sampler_params, k1, self.batchsize)
+            d = sample_chunked(self.sampler, state.sampler_params, k1,
+                               self.batchsize, self.sample_chunks)
         else:
-            d = self.sampler.sample(state.sampler_params, k1, self.batchsize,
-                                    y=y)
+            d = sample_chunked(self.sampler, state.sampler_params, k1,
+                               self.batchsize, self.sample_chunks, y=y)
         traj = buflib.from_d_sample(d)
         state, m1 = self._update_f_v_impl(state, img, traj, k2, y)
         state, m2 = self._update_sampler_impl(state, traj.flat(), k3,

@@ -202,3 +202,27 @@ def test_fused_train_step_matches_phased(setup):
                                float(m1["ebm/d_loss_"]), rtol=1e-5)
     np.testing.assert_allclose(float(m["sampler/sampler_loss_"]),
                                float(m2["sampler/sampler_loss_"]), rtol=1e-5)
+
+
+def test_train_step_sample_chunks(setup):
+    """sample_chunks>1 keeps the fused step valid: finite metrics, same
+    metric keys, params updated."""
+    trainer, sampler, value, state = setup
+    old = trainer.sample_chunks
+    trainer.sample_chunks = 2
+    try:
+        assert B % 2 == 0
+        s2, m2 = trainer.train_step(state, jnp.zeros((B, RES, RES, 3)),
+                                    jax.random.key(21))
+    finally:
+        trainer.sample_chunks = old
+    s1, m1 = trainer.train_step(state, jnp.zeros((B, RES, RES, 3)),
+                                jax.random.key(21))
+    assert set(m1) == set(m2)
+    for k, v in m2.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    # the chunked step consumed different per-chunk keys -> different
+    # trajectory, but both must actually move the params
+    a = np.asarray(jax.tree.leaves(s2.v_params)[0])
+    b_ = np.asarray(jax.tree.leaves(state.v_params)[0])
+    assert not np.allclose(a, b_)

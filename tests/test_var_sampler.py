@@ -126,3 +126,31 @@ def test_gaussian_logp_stop_gradient():
     # d/dmean of -(x-m)^2/(2 s^2) averaged over 4 dims = (x-m)/s^2 / 4
     np.testing.assert_allclose(np.asarray(g), np.full((2, 4), 1.0 / 0.25 / 4),
                                rtol=1e-5)
+
+
+def test_sample_chunked_contract(sampler, params):
+    """sample_chunked must preserve the d_sample contract exactly: same
+    tree/shapes as one big batch, and chunk c's leaves equal a direct
+    sample() with the c-th split key at the chunk batch."""
+    from dxmi_tpu.samplers import sample_chunked
+
+    key = jax.random.key(5)
+    d1 = sampler.sample(params, key, 8)
+    d2 = sample_chunked(sampler, params, key, 8, 2)
+    assert set(d1) == set(d2)
+    for k in d1:
+        assert d1[k].shape == d2[k].shape, k
+
+    keys = jax.random.split(key, 2)
+    c0 = sampler.sample(params, keys[0], 4)
+    np.testing.assert_allclose(np.asarray(d2["sample"][:4]),
+                               np.asarray(c0["sample"]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d2["l_sample"][:, :4]),
+                               np.asarray(c0["l_sample"]), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d2["logp"][:, 4:]),
+                               np.asarray(sampler.sample(params, keys[1], 4)["logp"]),
+                               rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError):
+        sample_chunked(sampler, params, key, 8, 3)

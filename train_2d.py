@@ -17,8 +17,9 @@ import os
 
 import jax
 
-if os.environ.get("DXMI_PLATFORM"):
-    jax.config.update("jax_platforms", os.environ["DXMI_PLATFORM"])
+from dxmi_tpu.runtime import init_runtime
+
+init_runtime()  # DXMI_PLATFORM override + persistent compile cache
 
 import jax.numpy as jnp
 import numpy as np

@@ -18,10 +18,9 @@ import time
 
 import jax
 
-# The container's sitecustomize pins jax_platforms to the axon TPU; allow
-# overriding (e.g. DXMI_PLATFORM=cpu for smoke runs) before backend init.
-if os.environ.get("DXMI_PLATFORM"):
-    jax.config.update("jax_platforms", os.environ["DXMI_PLATFORM"])
+from dxmi_tpu.runtime import init_runtime
+
+init_runtime()  # DXMI_PLATFORM override + persistent compile cache
 
 import jax.numpy as jnp
 import numpy as np
@@ -57,6 +56,13 @@ def build(cfg):
                        v_lr=float(cfg["training"]["v_lr"]),
                        beta_lr=float(cfg["training"].get("beta_lr") or
                                      cfg["training"]["lr"]))
+    # auto-chunk the trajectory-sampling phase down to the measured
+    # batch-64 throughput optimum (PERF.md; +9% on the phase at 128->2x64)
+    # unless the config pins trainer.sample_chunks explicitly
+    if trainer.sample_chunks == 1 and "sample_chunks" not in cfg["trainer"]:
+        b = trainer.batchsize
+        if b > 64 and b % 64 == 0:
+            trainer.sample_chunks = b // 64
     return sampler, value, trainer
 
 
@@ -172,7 +178,10 @@ def main():
             pass
         print0(f"run dir: {logdir}")
 
-    sample_fn = jax.jit(lambda p, k: sampler.sample(p, k, batchsize))
+    from dxmi_tpu.samplers import sample_chunked
+
+    sample_fn = jax.jit(lambda p, k: sample_chunked(
+        sampler, p, k, batchsize, trainer.sample_chunks))
     grid_fn = jax.jit(lambda p, k: sampler.sample(p, k, 64)["sample"])
 
     from dxmi_tpu.utils.profiling import PhaseTimer

@@ -22,8 +22,9 @@ import time
 
 import jax
 
-if os.environ.get("DXMI_PLATFORM"):
-    jax.config.update("jax_platforms", os.environ["DXMI_PLATFORM"])
+from dxmi_tpu.runtime import init_runtime
+
+init_runtime()  # DXMI_PLATFORM override + persistent compile cache
 
 import jax.numpy as jnp
 import numpy as np
@@ -172,7 +173,13 @@ def main():
         except ImportError:
             pass
 
-    sample_fn = jax.jit(lambda p, k: sampler.sample(p, k, batchsize))
+    from dxmi_tpu.samplers import sample_chunked
+
+    # sample_chunks defaults to 1 here (the large-model cond step is
+    # compute-ceiling-bound and flat in batch, PERF.md); configs may pin
+    # trainer.sample_chunks to chunk the trajectory-sampling phase
+    sample_fn = jax.jit(lambda p, k: sample_chunked(
+        sampler, p, k, batchsize, getattr(trainer, "sample_chunks", 1)))
     fid_state = maybe_fid_state(cfg)
     best_fid = float("inf")
     start_iter = 0
