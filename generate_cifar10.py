@@ -105,8 +105,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--log_dir", required=True)
     p.add_argument("--sampler", default="best", choices=["best", "last"])
-    p.add_argument("--n_generate", type=int, default=50000)
+    p.add_argument("-n", "--n_generate", type=int, default=50000)
     p.add_argument("--batchsize", type=int, default=100)
+    p.add_argument("--stat", default=None,
+                   help="FID dataset-stats file (.pt/.npz); defaults to the "
+                        "reference's datasets/cifar10_train_fid_stats.pt "
+                        "lookup (generate_cifar10.py:214-228 --stat flag)")
     p.add_argument("--guidance_scale", type=float, default=None)
     p.add_argument("--save_dir", default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -195,11 +199,11 @@ def main():
     writer.close()
     print0(f"wrote {i_img} PNGs to {save_dir}")
 
-    if args.eval_fid and jax.process_index() == 0:
+    if (args.eval_fid or args.stat) and jax.process_index() == 0:
         from dxmi_tpu.fid import runner as fid_runner
 
         w = fid_runner._find(fid_runner.DEFAULT_WEIGHTS)
-        s = fid_runner._find(fid_runner.DEFAULT_STATS)
+        s = args.stat or fid_runner._find(fid_runner.DEFAULT_STATS)
         if w is None or s is None:
             print0("FID skipped: Inception weights / dataset stats not on disk")
         else:

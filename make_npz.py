@@ -13,7 +13,7 @@ import numpy as np
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--image_dir", required=True)
+    p.add_argument("--dir", "--image_dir", dest="image_dir", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--batch", type=int, default=1024)
     args = p.parse_args()

@@ -72,14 +72,32 @@ def init_state(cfg, sampler, value, trainer, key):
 
     ckpt_path = cfg["training"].get("sampler_ckpt")
     if ckpt_path and os.path.exists(ckpt_path):
-        from dxmi_tpu.utils import convert
+        if ckpt_path.endswith(".msgpack"):
+            # pre-converted / previously-trained dxmi_tpu params
+            ckpt = ckptlib.load_checkpoint(ckpt_path)
+            tree = ckpt.get("params", ckpt)
+            if "net" in tree:  # full sampler params (net + log_betas ...)
+                sp = jax.tree.map(jnp.asarray, tree)
+            else:
+                sp["net"] = jax.tree.map(jnp.asarray, tree)
+        else:
+            target = str(cfg["sampler_net"].get("_target_", ""))
+            if "ncsnpp" in target.lower():
+                raise SystemExit(
+                    "sampler_ckpt: no torch->flax converter for the DDGAN "
+                    "NCSN++ (the reference snapshot ships no module for it, "
+                    "SURVEY.md §2.0, so dxmi_tpu's NCSNpp is a documented "
+                    "reconstruction with its own param layout). Train from "
+                    "scratch, or load a dxmi_tpu .msgpack checkpoint — see "
+                    "docs/migration.md.")
+            from dxmi_tpu.utils import convert
 
-        state_np = ckptlib.load_torch_checkpoint(ckpt_path)
-        state_np.pop("__meta__", None)
-        converted = convert.convert_unet_small(state_np)
-        sp["net"] = jax.tree.map(jnp.asarray, converted["params"])
-        if "log_betas" in converted:
-            sp["log_betas"] = jnp.asarray(converted["log_betas"])
+            state_np = ckptlib.load_torch_checkpoint(ckpt_path)
+            state_np.pop("__meta__", None)
+            converted = convert.convert_unet_small(state_np)
+            sp["net"] = jax.tree.map(jnp.asarray, converted["params"])
+            if "log_betas" in converted:
+                sp["log_betas"] = jnp.asarray(converted["log_betas"])
         print0(f"Sampler checkpoint loaded from {ckpt_path}")
     elif ckpt_path:
         print0(f"WARNING: sampler ckpt {ckpt_path} not found; training from "

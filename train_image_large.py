@@ -61,14 +61,23 @@ def build_sampler(cfg, key):
 
     ckpt_path = cfg["training"].get("pretrained_path")
     if ckpt_path and os.path.exists(ckpt_path):
-        from dxmi_tpu.utils import convert
+        if ckpt_path.endswith(".msgpack"):
+            # pre-converted / previously-trained dxmi_tpu params
+            ckpt = ckptlib.load_checkpoint(ckpt_path)
+            tree = ckpt.get("params", ckpt)
+            if "net" in tree:  # full sampler params (net + log_betas ...)
+                params = jax.tree.map(jnp.asarray, tree)
+            else:
+                params["net"] = jax.tree.map(jnp.asarray, tree)
+        else:
+            from dxmi_tpu.utils import convert
 
-        state_np = ckptlib.load_torch_checkpoint(ckpt_path)
-        state_np.pop("__meta__", None)
-        converted = convert.convert_unet_adm(state_np)
-        params["net"] = jax.tree.map(jnp.asarray, converted["params"])
-        if "log_betas" in converted:
-            params["log_betas"] = jnp.asarray(converted["log_betas"])
+            state_np = ckptlib.load_torch_checkpoint(ckpt_path)
+            state_np.pop("__meta__", None)
+            converted = convert.convert_unet_adm(state_np)
+            params["net"] = jax.tree.map(jnp.asarray, converted["params"])
+            if "log_betas" in converted:
+                params["log_betas"] = jnp.asarray(converted["log_betas"])
         print0(f"pretrained EDM loaded from {ckpt_path}")
     elif ckpt_path:
         print0(f"WARNING: pretrained ckpt {ckpt_path} missing; random init")
