@@ -37,9 +37,15 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--log_dir", required=True)
     p.add_argument("--sampler", default="best", choices=["best", "last"])
-    p.add_argument("--n_generate", type=int, default=50000)
+    p.add_argument("--n_sample", "--n_generate", dest="n_generate",
+                   type=int, default=50000)
     p.add_argument("--batchsize", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--guidance_scale", type=float, default=None,
+                   help="Value guidance scale, 0.0 for no guidance "
+                        "(reference generate_large.py:90): samples via the "
+                        "Cond trainer's value-guided path, loading "
+                        "value_{best,last}.msgpack from the run dir")
     p.add_argument("--skip_fid", action="store_true",
                    help="stream PNGs to disk instead of computing FID")
     p.add_argument("--save_dir", default=None)
@@ -82,7 +88,27 @@ def main():
                                          n_sample=8, n_rounds=2)
         print0("int8: static activation scales calibrated")
 
-    sample_fn = jax.jit(lambda p, k: sampler.sample(p, k, args.batchsize)["sample"])
+    if args.guidance_scale is not None:
+        # value-guided sampling (reference generate_large.py:29-30,132-146):
+        # load the value function + Cond trainer, sample via sample_guidance
+        value = instantiate(cfg["value"])
+        trainer = instantiate(cfg["trainer"], batchsize=args.batchsize,
+                              n_timesteps=cfg["sampler"]["n_timesteps"])
+        trainer.set_models(sampler, value, lr=1e-8, v_lr=1e-5)
+        v_ckpt = ckptlib.load_checkpoint(
+            os.path.join(args.log_dir, f"value_{args.sampler}.msgpack"))
+        v_params = jax.tree.map(jnp.asarray, v_ckpt["params"])
+        v_stats = (jax.tree.map(jnp.asarray, v_ckpt["sn_stats"])
+                   if "sn_stats" in v_ckpt else None)
+        state = trainer.init_state(params, v_params, v_stats=v_stats)
+        trainer.guidance_scale = args.guidance_scale
+        print0(f"value-guided sampling, scale={args.guidance_scale}")
+        sample_fn = jax.jit(lambda p, k: trainer.sample_guidance(
+            state, k, args.batchsize,
+            guidance_scale=args.guidance_scale)["sample"])
+    else:
+        sample_fn = jax.jit(
+            lambda p, k: sampler.sample(p, k, args.batchsize)["sample"])
 
     key = jax.random.fold_in(jax.random.key(args.seed), jax.process_index())
     n_local = args.n_generate // jax.process_count()

@@ -147,6 +147,58 @@ def test_cond_trainer_tick():
     assert np.isfinite(float(m2["sampler/sampler_loss_"]))
 
 
+def test_cond_sample_guidance():
+    """Cond value-guided sampling (trainer.py:811-860): sigma_max-scaled
+    prior, class labels threaded through sample_step, guidance masked by
+    t_select."""
+    from dxmi_tpu.models.igebm import IGEBMEncoder
+    from dxmi_tpu.models.value import TimeIndependentValue
+    from dxmi_tpu.trainers.dxmi_cond import DxMITrainerCond
+
+    T, B, RES = 4, 6, 8
+    s = EDMSampler(ConstNet(), None, n_timesteps=T, sample_shape=(3, RES, RES),
+                   class_cond=True, num_classes=10, trainable_beta="fix_last")
+    value = TimeIndependentValue(net=IGEBMEncoder(nh=8, keepdim=False))
+    tr = DxMITrainerCond(batchsize=B, tau1=0.1, tau2=0.01, gamma=1.0,
+                         n_timesteps=T, use_sampler_beta=True, adavelreg=0.99,
+                         time_cost=0.0, time_cost_sig=1.0)
+    tr.set_models(s, value, lr=1e-5, v_lr=1e-4, beta_lr=1e-5)
+    sp = s.init_params(jax.random.key(0))
+    vp = value.init(jax.random.key(1), jnp.zeros((1, RES, RES, 3)),
+                    jnp.zeros((1,), jnp.int32))["params"]
+    state = tr.init_state(sp, vp)
+
+    d = tr.sample_guidance(state, jax.random.key(2), B, guidance_scale=0.1)
+    assert d["sample"].shape == (B, RES, RES, 3)
+    assert d["l_sample"].shape == (T + 1, B, RES, RES, 3)
+    assert np.all(np.isfinite(np.asarray(d["sample"])))
+    # class labels drawn and in range (reference threads y into each step)
+    y = np.asarray(d["y"])
+    assert y.shape == (B,) and y.min() >= 0 and y.max() < 10
+    # prior is sigma_max-scaled (x_T ~ N(0,I) * 80), not unit normal
+    x0_std = float(np.asarray(d["l_sample"][0]).std())
+    assert 60.0 < x0_std < 100.0
+
+    # guidance_scale=0 zeroes the guidance term
+    d0 = tr.sample_guidance(state, jax.random.key(2), B, guidance_scale=0.0)
+    np.testing.assert_allclose(np.asarray(d0["guidance"]), 0.0)
+
+    # t_select masks guidance to the selected steps only
+    dsel = tr.sample_guidance(state, jax.random.key(2), B,
+                              guidance_scale=0.1, t_select=(T - 1,))
+    g = np.asarray(dsel["guidance"])
+    # guidance is recorded for every step but only applied at t_select;
+    # applied steps must differ from the unguided trajectory
+    assert not np.allclose(np.asarray(dsel["sample"]),
+                           np.asarray(d0["sample"]))
+    assert g.shape[0] == T
+
+    # pinned class label
+    dpin = tr.sample_guidance(state, jax.random.key(3), B,
+                              guidance_scale=0.1, i_class=7)
+    assert np.all(np.asarray(dpin["y"]) == 7)
+
+
 @pytest.mark.slow
 @requires_reference
 def test_denoiser_preconditioning_vs_reference(reference_path):
