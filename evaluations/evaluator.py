@@ -130,16 +130,52 @@ def read_npz_images(path):
         return d[key]
 
 
+def iter_npz_batches(path, batch):
+    """Stream the image array out of an npz in ``batch``-row chunks WITHOUT
+    materializing it (50k x 256^2 uint8 is ~9.8 GB — the reference
+    evaluator streams npz batches for the same reason, reference
+    evaluator.py:433-571). Reads the .npy member through the zip stream;
+    falls back to a full in-memory read for exotic layouts."""
+    import zipfile
+
+    from numpy.lib import format as npfmt
+
+    try:
+        with zipfile.ZipFile(path) as z:
+            names = z.namelist()
+            name = "arr_0.npy" if "arr_0.npy" in names else names[0]
+            with z.open(name) as f:
+                version = npfmt.read_magic(f)
+                npfmt._check_version(version)
+                shape, fortran, dtype = npfmt._read_array_header(f, version)
+                if fortran or dtype.hasobject or len(shape) < 1:
+                    raise ValueError("unsupported layout for streaming")
+                row = int(np.prod(shape[1:], dtype=np.int64)) * dtype.itemsize
+                n = shape[0]
+                for i in range(0, n, batch):
+                    k = min(batch, n - i)
+                    buf = f.read(k * row)
+                    if len(buf) != k * row:
+                        raise EOFError("truncated npy member")
+                    yield np.frombuffer(buf, dtype=dtype).reshape(
+                        (k,) + tuple(shape[1:]))
+        return
+    except Exception as e:  # streaming not possible — load whole array
+        print(f"  (npz streaming unavailable: {e}; reading whole array)")
+    imgs = read_npz_images(path)
+    for i in range(0, len(imgs), batch):
+        yield imgs[i:i + batch]
+
+
 def npz_has_stats(path):
     with np.load(path) as d:
         return "mu" in d
 
 
 def extract_all(path, extract, batch=100):
-    imgs = read_npz_images(path)
     feats = {"pool3": [], "spatial": [], "probs": []}
-    for i in range(0, len(imgs), batch):
-        x = imgs[i:i + batch].astype(np.float32) / 255.0
+    for chunk in iter_npz_batches(path, batch):
+        x = chunk.astype(np.float32) / 255.0
         out = extract(x)
         for k in feats:
             if k in out:

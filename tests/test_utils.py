@@ -144,6 +144,24 @@ def test_evaluator_prec_recall_sanity():
     assert inception_score(probs) == pytest.approx(1.0, abs=1e-5)
 
 
+def test_evaluator_npz_streaming(tmp_path):
+    """iter_npz_batches streams compressed/uncompressed npz members
+    identically to a full read, including a short last chunk."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from evaluations.evaluator import iter_npz_batches, read_npz_images
+
+    imgs = (np.random.RandomState(3).rand(10, 8, 8, 3) * 255).astype(np.uint8)
+    for saver, name in ((np.savez, "plain.npz"),
+                        (np.savez_compressed, "comp.npz")):
+        p = tmp_path / name
+        saver(p, arr_0=imgs)
+        chunks = list(iter_npz_batches(str(p), 4))
+        assert [len(c) for c in chunks] == [4, 4, 2]
+        np.testing.assert_array_equal(np.concatenate(chunks), imgs)
+        np.testing.assert_array_equal(read_npz_images(str(p)), imgs)
+
+
 @pytest.mark.slow
 def test_evaluator_cli_end_to_end(tmp_path):
     """Full evaluator pipeline with random Inception weights (values not
