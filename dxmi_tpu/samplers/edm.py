@@ -275,9 +275,13 @@ def karras_sample(diffusion: KarrasDenoiser, net, net_params, key, shape_nhwc,
                   steps: int, sampler: str = "heun", sigma_min: float = 0.002,
                   sigma_max: float = 80.0, rho: float = 7.0,
                   clip_denoised: bool = True, s_churn: float = 0.0,
-                  model_kwargs=None):
-    """Standalone EDM samplers (heun / euler / ancestral / onestep), the
-    live subset of cm/karras_diffusion.py:354-719, as lax.scan loops."""
+                  s_tmin: float = 0.0, s_tmax: float = float("inf"),
+                  s_noise: float = 1.0, model_kwargs=None):
+    """Standalone EDM samplers (heun / euler / ancestral / onestep / dpm /
+    multistep / progdist), the full surface of
+    cm/karras_diffusion.py:354-719, as lax.scan loops. ``s_churn`` adds
+    the EDM stochastic-churn noise injection on heun/euler/dpm steps
+    (sample_heun, karras_diffusion.py:446-487)."""
     import numpy as np
 
     from dxmi_tpu.schedules import ancestral_split, karras_sigmas
@@ -297,9 +301,25 @@ def karras_sample(diffusion: KarrasDenoiser, net, net_params, key, shape_nhwc,
     if sampler == "onestep":
         return denoise(x, sigmas[0])
 
+    def churned(xc, s_i, k):
+        # EDM stochastic churn (karras_diffusion.py:459-468): bump sigma
+        # by gamma inside [s_tmin, s_tmax] and add matching noise.
+        gamma = jnp.where((s_i >= s_tmin) & (s_i <= s_tmax),
+                          min(s_churn / (len(sigmas) - 1), 2 ** 0.5 - 1),
+                          0.0)
+        sigma_hat = s_i * (1.0 + gamma)
+        eps = jax.random.normal(k, xc.shape) * s_noise
+        xc = xc + eps * jnp.sqrt(jnp.maximum(sigma_hat ** 2 - s_i ** 2, 0.0))
+        return xc, sigma_hat
+
     if sampler in ("heun", "euler"):
+        key, kc = jax.random.split(key)
+        churn_keys = jax.random.split(kc, steps)
+
         def step(xc, i):
             s_i, s_n = sigmas[i], sigmas[i + 1]
+            if s_churn > 0.0:
+                xc, s_i = churned(xc, s_i, churn_keys[i])
             den = denoise(xc, s_i)
             d = (xc - den) / s_i
             x_e = xc + d * (s_n - s_i)
@@ -335,8 +355,13 @@ def karras_sample(diffusion: KarrasDenoiser, net, net_params, key, shape_nhwc,
     if sampler == "dpm":
         # DPM-Solver-2-style midpoint stepping in log-sigma space
         # (reference sample_dpm, karras_diffusion.py:521-560 shape)
+        key, kc = jax.random.split(key)
+        churn_keys = jax.random.split(kc, steps)
+
         def step(xc, i):
             s_i, s_n = sigmas[i], sigmas[i + 1]
+            if s_churn > 0.0:
+                xc, s_i = churned(xc, s_i, churn_keys[i])
             den = denoise(xc, s_i)
             d = (xc - den) / s_i
             sigma_mid = jnp.exp(0.5 * (jnp.log(s_i)
@@ -382,6 +407,22 @@ def karras_sample(diffusion: KarrasDenoiser, net, net_params, key, shape_nhwc,
             return x_next, None
 
         x, _ = jax.lax.scan(step, x, (jnp.arange(steps), keys))
+        return jnp.clip(x, -1, 1)
+
+    if sampler == "progdist":
+        # progressive-distillation sampling (karras_diffusion.py:378-381,
+        # 686-719): a (steps+1)-point karras grid with the zero sigma
+        # dropped, then plain Euler steps — never steps to sigma=0.
+        sig = jnp.asarray(karras_sigmas(steps + 1, sigma_min, sigma_max,
+                                        rho))[:-1]
+
+        def step(xc, i):
+            s_i, s_n = sig[i], sig[i + 1]
+            den = denoise(xc, s_i)
+            d = (xc - den) / s_i
+            return xc + d * (s_n - s_i), None
+
+        x, _ = jax.lax.scan(step, x, jnp.arange(steps))
         return jnp.clip(x, -1, 1)
 
     raise ValueError(f"unknown sampler: {sampler}")

@@ -103,11 +103,22 @@ def test_karras_sample_smoke():
     net = ConstNet()
     p = net.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)),
                  jnp.zeros((1,)))["params"]
-    for s in ("heun", "euler", "ancestral", "onestep", "dpm", "multistep"):
+    for s in ("heun", "euler", "ancestral", "onestep", "dpm", "multistep",
+              "progdist"):
         out = karras_sample(diff, net, p, jax.random.key(1), (2, 8, 8, 3),
                             steps=4, sampler=s)
         assert out.shape == (2, 8, 8, 3)
         assert np.all(np.abs(np.asarray(out)) <= 1.0)
+
+    # stochastic churn (s_churn > 0) perturbs the deterministic solvers
+    for s in ("heun", "euler", "dpm"):
+        base = karras_sample(diff, net, p, jax.random.key(1), (2, 8, 8, 3),
+                             steps=4, sampler=s)
+        churn = karras_sample(diff, net, p, jax.random.key(1), (2, 8, 8, 3),
+                              steps=4, sampler=s, s_churn=2.0)
+        assert churn.shape == base.shape
+        assert np.all(np.isfinite(np.asarray(churn)))
+        assert not np.allclose(np.asarray(churn), np.asarray(base))
 
 
 def test_cond_trainer_tick():
