@@ -114,25 +114,68 @@ def load_data(data_dir: str, batch_size: int, image_size: int,
               class_cond: bool = False, cachefile: Optional[str] = None,
               deterministic: bool = False, random_crop: bool = False,
               random_flip: bool = True, seed: int = 0,
-              process_index: int = 0, process_count: int = 1
+              process_index: int = 0, process_count: int = 1,
+              num_workers: int = 0, prefetch: int = 2
               ) -> Iterator[Tuple[np.ndarray, dict]]:
     """Infinite, process-sharded batch generator (dxmi_util.load_data +
-    infinite_loader equivalents). Yields (x (B,H,W,C) in [-1,1], {'y': ...})."""
+    infinite_loader equivalents). Yields (x (B,H,W,C) in [-1,1], {'y': ...}).
+
+    ``num_workers > 0`` decodes images on a thread pool and assembles
+    batches ahead of the consumer (``prefetch`` deep) — the TPU-side
+    replacement for the reference's DataLoader worker processes
+    (train_image_large.py:178-204): PIL releases the GIL during file
+    reads/decode, so threads overlap input with device compute. Each
+    image then gets its own SeedSequence-derived RNG (seed, epoch,
+    index), making augmentation deterministic regardless of worker
+    timing — the ``num_workers=0`` path keeps the original sequential
+    RNG stream."""
     ds = ImageFolderDataset(data_dir, image_size, class_cond, cachefile,
                             random_crop, random_flip)
     rng = np.random.RandomState(seed + process_index)
     n = len(ds)
-    while True:
-        order = (np.arange(n) if deterministic else rng.permutation(n))
-        shard = order[process_index::process_count]
-        for i in range(0, len(shard) - batch_size + 1, batch_size):
-            idx = shard[i:i + batch_size]
+
+    def index_batches():
+        epoch = 0
+        while True:
+            order = (np.arange(n) if deterministic else rng.permutation(n))
+            shard = order[process_index::process_count]
+            for i in range(0, len(shard) - batch_size + 1, batch_size):
+                yield epoch, shard[i:i + batch_size]
+            epoch += 1
+
+    def pack(xs, ys):
+        extra = {}
+        if class_cond:
+            extra["y"] = np.asarray(ys, dtype=np.int32)
+        return np.stack(xs), extra
+
+    if num_workers <= 0:
+        for _, idx in index_batches():
             xs, ys = [], []
             for j in idx:
                 x, y = ds.load(int(j), rng)
                 xs.append(x)
                 ys.append(y)
-            extra = {}
-            if class_cond:
-                extra["y"] = np.asarray(ys, dtype=np.int32)
-            yield np.stack(xs), extra
+            yield pack(xs, ys)
+        return
+
+    import queue as queuelib
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    def load_one(epoch, j):
+        r = np.random.RandomState(np.random.SeedSequence(
+            [seed + process_index, epoch, int(j)]).generate_state(1)[0])
+        return ds.load(int(j), r)
+
+    q: "queuelib.Queue" = queuelib.Queue(maxsize=max(1, prefetch))
+    pool = ThreadPoolExecutor(max_workers=num_workers)
+
+    def producer():
+        for epoch, idx in index_batches():
+            rows = list(pool.map(lambda j: load_one(epoch, j), idx))
+            q.put(pack([x for x, _ in rows], [y for _, y in rows]))
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        yield q.get()

@@ -51,6 +51,23 @@ class BaseLogger:
             self.writer.flush()
 
 
+def init_wandb(project: str, name: str, logdir: str,
+               cfg_container: Optional[dict] = None):
+    """``wandb.init`` with the reference's contract (train_cifar10.py:
+    349-355, train_image_large.py:217-222): project per dataset/T, run
+    name ``{model_cfg_name}_{run}``, run files under the log dir, full
+    config attached. Returns the wandb module, or None (with a warning)
+    when wandb is not installed — the reference hard-depends on it; here
+    it is an opt-in (``--wandb``)."""
+    try:
+        import wandb
+    except ImportError:
+        print("wandb not installed — --wandb ignored")
+        return None
+    wandb.init(project=project, name=name, dir=logdir, config=cfg_container)
+    return wandb
+
+
 def expand_metrics(metrics: Dict[str, Any]) -> Dict[str, float]:
     """Convert a trainer metrics dict (scalars + per_step vectors) into the
     reference's flat scalar key families."""

@@ -60,6 +60,26 @@ def test_load_data_batches(image_dir):
     assert x.shape == (4, 32, 32, 3)
 
 
+def test_load_data_threaded_prefetch(image_dir):
+    """num_workers>0: threaded decode yields the same deterministic
+    batches as the synchronous path when augmentation RNG is off."""
+    kw = dict(batch_size=4, image_size=32, class_cond=True,
+              deterministic=True, random_flip=False, seed=0)
+    sync = load_data(image_dir, **kw)
+    thr = load_data(image_dir, num_workers=3, prefetch=2, **kw)
+    for _ in range(5):
+        xs, es = next(sync)
+        xt, et = next(thr)
+        np.testing.assert_array_equal(xs, xt)
+        np.testing.assert_array_equal(es["y"], et["y"])
+    # randomized path still produces valid batches
+    gen = load_data(image_dir, batch_size=4, image_size=32, class_cond=False,
+                    num_workers=2, seed=1)
+    x, _ = next(gen)
+    assert x.shape == (4, 32, 32, 3)
+    assert x.min() >= -1.0 and x.max() <= 1.0
+
+
 def test_load_data_sharding(image_dir):
     g0 = load_data(image_dir, batch_size=2, image_size=32, class_cond=False,
                    deterministic=True, process_index=0, process_count=2)

@@ -135,6 +135,9 @@ def main():
                         help="use a synthetic dataset stand-in")
     parser.add_argument("--resume", action="store_true",
                         help="resume params+optimizer state from the run dir")
+    parser.add_argument("--wandb", action="store_true",
+                        help="log to wandb with the reference's project "
+                             "naming (requires wandb installed)")
     args, unknown = parser.parse_known_args()
 
     d_cmd = cfglib.parse_nested_args(cfglib.parse_unknown_args(unknown))
@@ -188,12 +191,23 @@ def main():
     if jax.process_index() == 0:
         os.makedirs(logdir, exist_ok=True)
         cfglib.save_yaml(cfg, os.path.join(logdir, "config.yaml"))
+        use_wandb = False
+        if args.wandb:
+            # project naming parity (reference train_cifar10.py:349-355)
+            from dxmi_tpu.utils.logging import init_wandb
+
+            proj = ("dxmi_cifar10_ddgan" if "ddgan" in model_cfg_name
+                    else f"dxmi_cifar10_T{cfg['sampler']['n_timesteps']}")
+            use_wandb = init_wandb(proj, f"{model_cfg_name}_{args.run}",
+                                   logdir, dict(cfg)) is not None
+        writer = None
         try:
             from tensorboardX import SummaryWriter
 
-            logger = BaseLogger(SummaryWriter(logdir=logdir))
+            writer = SummaryWriter(logdir=logdir)
         except ImportError:
             pass
+        logger = BaseLogger(writer, use_wandb=use_wandb)
         print0(f"run dir: {logdir}")
 
     from dxmi_tpu.samplers import sample_chunked

@@ -109,6 +109,12 @@ def main():
     p.add_argument("--run", default="run")
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--fake_data", action="store_true")
+    p.add_argument("--wandb", action="store_true",
+                   help="log to wandb with the reference's project naming "
+                        "(requires wandb installed)")
+    p.add_argument("--data_workers", type=int, default=4,
+                   help="decode threads for the image-folder loader "
+                        "(0 = synchronous)")
     p.add_argument("--resume", action="store_true",
                    help="resume full train state from the run dir")
     p.add_argument("--save_state_every", type=int, default=500)
@@ -166,7 +172,10 @@ def main():
             cachefile=cfg["data"].get("cachefile"),
             deterministic=bool(cfg["data"].get("deterministic", False)),
             seed=seed, process_index=jax.process_index(),
-            process_count=jax.process_count())
+            process_count=jax.process_count(),
+            # threaded decode + prefetch: overlap input with device compute
+            # (the reference's DataLoader workers, train_image_large.py:178-204)
+            num_workers=args.data_workers)
 
     model_cfg_name = os.path.basename(args.config).split(".")[0]
     logdir = os.path.join(f"results/{cfg['data']['name']}/{model_cfg_name}",
@@ -175,12 +184,23 @@ def main():
     if jax.process_index() == 0:
         os.makedirs(logdir, exist_ok=True)
         cfglib.save_yaml(cfg, os.path.join(logdir, "config.yaml"))
+        use_wandb = False
+        if args.wandb:
+            # project naming parity (reference train_image_large.py:217-222)
+            from dxmi_tpu.utils.logging import init_wandb
+
+            proj = (f"dxmi_{cfg['data']['name']}"
+                    f"_T{cfg['sampler']['n_timesteps']}")
+            use_wandb = init_wandb(proj, f"{model_cfg_name}_{args.run}",
+                                   logdir, dict(cfg)) is not None
+        writer = None
         try:
             from tensorboardX import SummaryWriter
 
-            logger = BaseLogger(SummaryWriter(logdir=logdir))
+            writer = SummaryWriter(logdir=logdir)
         except ImportError:
             pass
+        logger = BaseLogger(writer, use_wandb=use_wandb)
 
     from dxmi_tpu.samplers import sample_chunked
 
