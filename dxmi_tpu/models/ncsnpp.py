@@ -14,14 +14,14 @@ mapped latent z), TPU-native (NHWC, FIR resampling as depthwise convs).
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dxmi_tpu.models.unet_small import timestep_embedding
+from dxmi_tpu.models.unet_small import _conv, timestep_embedding
 
 
 @dataclasses.dataclass
@@ -100,6 +100,7 @@ class ResBlockBigGAN(nn.Module):
     down: bool = False
     dropout: float = 0.0
     skip_rescale: bool = True
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x, temb, zemb, *, deterministic: bool = True):
@@ -112,43 +113,55 @@ class ResBlockBigGAN(nn.Module):
         elif self.down:
             h = fir_downsample(h)
             x = fir_downsample(x)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1")(h)
+        h = _conv(self.quant, self.out_channels, (3, 3), jnp.float32,
+                  "conv1")(h)
         h = h + nn.Dense(self.out_channels, name="temb_proj")(
             jax.nn.silu(temb))[:, None, None, :]
         h = AdaGN(name="norm2")(h, zemb)
         h = jax.nn.silu(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1,
-                    kernel_init=nn.initializers.zeros, name="conv2")(h)
+        h = _conv(self.quant, self.out_channels, (3, 3), jnp.float32, "conv2",
+                  kernel_init=nn.initializers.zeros)(h)
         if in_ch != self.out_channels or self.up or self.down:
-            x = nn.Conv(self.out_channels, (1, 1), name="shortcut")(x)
+            x = _conv(self.quant, self.out_channels, (1, 1), jnp.float32,
+                      "shortcut", padding=0)(x)
         out = x + h
         return out / np.sqrt(2.0) if self.skip_rescale else out
 
 
 class AttnBlockSkip(nn.Module):
     skip_rescale: bool = True
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
         h = nn.GroupNorm(num_groups=_num_groups(C), name="norm")(x)
-        q = nn.Conv(C, (1, 1), name="q")(h).reshape(B, H * W, C)
-        k = nn.Conv(C, (1, 1), name="k")(h).reshape(B, H * W, C)
-        v = nn.Conv(C, (1, 1), name="v")(h).reshape(B, H * W, C)
+        q = _conv(self.quant, C, (1, 1), jnp.float32, "q",
+                  padding=0)(h).reshape(B, H * W, C)
+        k = _conv(self.quant, C, (1, 1), jnp.float32, "k",
+                  padding=0)(h).reshape(B, H * W, C)
+        v = _conv(self.quant, C, (1, 1), jnp.float32, "v",
+                  padding=0)(h).reshape(B, H * W, C)
         w = jax.nn.softmax(
             jnp.einsum("bqc,bkc->bqk", q, k) * (C ** -0.5), axis=-1)
         h = jnp.einsum("bqk,bkc->bqc", w, v).reshape(B, H, W, C)
-        h = nn.Conv(C, (1, 1), kernel_init=nn.initializers.zeros,
-                    name="proj_out")(h)
+        h = _conv(self.quant, C, (1, 1), jnp.float32, "proj_out", padding=0,
+                  kernel_init=nn.initializers.zeros)(h)
         out = x + h
         return out / np.sqrt(2.0) if self.skip_rescale else out
 
 
 class NCSNpp(nn.Module):
-    """DDGAN generator: predicts x0 from (x_t, t, z)."""
+    """DDGAN generator: predicts x0 from (x_t, t, z).
+
+    ``quant_int8``: False | True (dynamic ranges) | 'static' (calibrated
+    ranges via ``DDGANSampler.calibrate_quant``) — W8A8 convs on the MXU
+    for the res/attn blocks; conv_in/conv_out/pyramid stay fp (same
+    policy as UNetSmall)."""
 
     config: NCSNppArgs = dataclasses.field(default_factory=NCSNppArgs)
+    quant_int8: Any = False
 
     @nn.compact
     def __call__(self, x, t, z, *, deterministic: bool = True):
@@ -172,16 +185,16 @@ class NCSNpp(nn.Module):
         input_pyramid = x
         for i_level, mult in enumerate(cfg.ch_mult):
             for i_block in range(cfg.num_res_blocks):
-                h = ResBlockBigGAN(nf * mult, dropout=cfg.dropout,
+                h = ResBlockBigGAN(nf * mult, dropout=cfg.dropout, quant=self.quant_int8,
                                    skip_rescale=cfg.skip_rescale,
                                    name=f"down_{i_level}_block_{i_block}")(
                     h, temb, zemb, deterministic=deterministic)
                 if res in cfg.attn_resolutions:
-                    h = AttnBlockSkip(cfg.skip_rescale,
+                    h = AttnBlockSkip(cfg.skip_rescale, quant=self.quant_int8,
                                       name=f"down_{i_level}_attn_{i_block}")(h)
                 hs.append(h)
             if i_level != len(cfg.ch_mult) - 1:
-                h = ResBlockBigGAN(h.shape[-1], down=True, dropout=cfg.dropout,
+                h = ResBlockBigGAN(h.shape[-1], down=True, dropout=cfg.dropout, quant=self.quant_int8,
                                    skip_rescale=cfg.skip_rescale,
                                    name=f"down_{i_level}_downsample")(
                     h, temb, zemb, deterministic=deterministic)
@@ -193,12 +206,12 @@ class NCSNpp(nn.Module):
                 hs.append(h)
                 res //= 2
 
-        h = ResBlockBigGAN(h.shape[-1], dropout=cfg.dropout,
+        h = ResBlockBigGAN(h.shape[-1], dropout=cfg.dropout, quant=self.quant_int8,
                            skip_rescale=cfg.skip_rescale,
                            name="mid_block_1")(h, temb, zemb,
                                                deterministic=deterministic)
-        h = AttnBlockSkip(cfg.skip_rescale, name="mid_attn")(h)
-        h = ResBlockBigGAN(h.shape[-1], dropout=cfg.dropout,
+        h = AttnBlockSkip(cfg.skip_rescale, quant=self.quant_int8, name="mid_attn")(h)
+        h = ResBlockBigGAN(h.shape[-1], dropout=cfg.dropout, quant=self.quant_int8,
                            skip_rescale=cfg.skip_rescale,
                            name="mid_block_2")(h, temb, zemb,
                                                deterministic=deterministic)
@@ -206,16 +219,16 @@ class NCSNpp(nn.Module):
         for i_level in reversed(range(len(cfg.ch_mult))):
             for i_block in range(cfg.num_res_blocks + 1):
                 h = ResBlockBigGAN(nf * cfg.ch_mult[i_level],
-                                   dropout=cfg.dropout,
+                                   dropout=cfg.dropout, quant=self.quant_int8,
                                    skip_rescale=cfg.skip_rescale,
                                    name=f"up_{i_level}_block_{i_block}")(
                     jnp.concatenate([h, hs.pop()], axis=-1), temb, zemb,
                     deterministic=deterministic)
                 if res in cfg.attn_resolutions:
-                    h = AttnBlockSkip(cfg.skip_rescale,
+                    h = AttnBlockSkip(cfg.skip_rescale, quant=self.quant_int8,
                                       name=f"up_{i_level}_attn_{i_block}")(h)
             if i_level != 0:
-                h = ResBlockBigGAN(h.shape[-1], up=True, dropout=cfg.dropout,
+                h = ResBlockBigGAN(h.shape[-1], up=True, dropout=cfg.dropout, quant=self.quant_int8,
                                    skip_rescale=cfg.skip_rescale,
                                    name=f"up_{i_level}_upsample")(
                     h, temb, zemb, deterministic=deterministic)

@@ -56,7 +56,7 @@ def swish(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _conv(quant, features, kernel_size, dtype, name,
-          strides=(1, 1), padding=1, use_bias=True):
+          strides=(1, 1), padding=1, use_bias=True, kernel_init=None):
     """nn.Conv or the int8 QConv (same param tree) per the quant flag
     (False | True = dynamic ranges | 'static' = calibrated ranges).
     DXMI_CONV_TAPS=1 swaps stride-1 3x3 convs to the 9-shifted-matmul
@@ -66,14 +66,17 @@ def _conv(quant, features, kernel_size, dtype, name,
 
         return QConv(features, kernel_size, strides=strides, padding=padding,
                      use_bias=use_bias, dtype=dtype, name=name,
-                     static_act=(quant == "static"))
+                     static_act=(quant == "static"),
+                     kernel_init=kernel_init)
     if (kernel_size == (3, 3) and strides == (1, 1) and padding == 1
+            and kernel_init is None
             and os.environ.get("DXMI_CONV_TAPS", "0") == "1"):
         from dxmi_tpu.ops.conv_taps import Conv3x3Taps
 
         return Conv3x3Taps(features, use_bias=use_bias, dtype=dtype, name=name)
+    kw = {} if kernel_init is None else {"kernel_init": kernel_init}
     return nn.Conv(features, kernel_size, strides=strides, padding=padding,
-                   use_bias=use_bias, dtype=dtype, name=name)
+                   use_bias=use_bias, dtype=dtype, name=name, **kw)
 
 class _GNParams(nn.Module):
     """Holds the affine params under a child scope named 'gn' so the param

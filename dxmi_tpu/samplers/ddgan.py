@@ -138,7 +138,10 @@ class DDGANSampler:
         else:
             z = jnp.zeros((B, self.nz), x.dtype)
         rngs = {"dropout": dropout_rng} if (train and dropout_rng is not None) else None
-        x0_pred = self.net.apply({"params": params["net"]}, x,
+        variables = {"params": params["net"]}
+        if "quant_scales" in params:  # static-int8 sampling mode
+            variables["quant_scales"] = params["quant_scales"]
+        x0_pred = self.net.apply(variables, x,
                                  self._ddgan_t(t).astype(jnp.float32), z,
                                  rngs=rngs, deterministic=not train)
 
@@ -159,6 +162,46 @@ class DDGANSampler:
             "entropy": jnp.log(sigma),
             "control": (c1 * x0_pred).astype(x.dtype),
         }
+
+    def calibrate_quant(self, params: Dict[str, Any], key: jax.Array,
+                        n_sample: int = 64, n_rounds: int = 2) -> Dict[str, Any]:
+        """Calibrate static activation ranges for a ``quant_int8='static'``
+        NCSN++: run full-precision T-step trajectories with the
+        'quant_scales' collection mutable (each QConv records its running
+        range statistic). Returns params with 'quant_scales' attached
+        (inference-only; strip before training). Same contract as
+        VARSampler/EDMSampler.calibrate_quant."""
+        x0 = jnp.zeros((1, *self.sample_shape), jnp.float32)
+        z0 = jnp.zeros((1, self.nz), jnp.float32)
+        scales = self.net.init(jax.random.fold_in(key, 999), x0,
+                               jnp.zeros((1,), jnp.float32),
+                               z0)["quant_scales"]
+        sch = self.schedule
+        sigmas = self.sigmas_all(params)
+
+        @jax.jit
+        def calib_step(scales, x, t, z):
+            x0p, updated = self.net.apply(
+                {"params": params["net"], "quant_scales": scales},
+                x, t, z, mutable=["quant_scales"])
+            return x0p, updated["quant_scales"]
+
+        for _ in range(n_rounds):
+            key, k0 = jax.random.split(key)
+            x = jax.random.normal(k0, (n_sample, *self.sample_shape))
+            for i in range(self.n_timesteps):
+                key, kz, kn = jax.random.split(key, 3)
+                t = jnp.full((n_sample,), i, jnp.int32)
+                z = (jax.random.normal(kz, (n_sample, self.nz))
+                     if self.use_z else jnp.zeros((n_sample, self.nz)))
+                x0p, scales = calib_step(
+                    scales, x, self._ddgan_t(t).astype(jnp.float32), z)
+                c1 = jnp.take(sch.x0_coef, t)[:, None, None, None]
+                c2 = jnp.take(sch.xt_coef, t)[:, None, None, None]
+                mean = c1 * x0p + c2 * x
+                x = mean + jnp.take(sigmas, t)[:, None, None, None] \
+                    * jax.random.normal(kn, x.shape)
+        return dict(params, quant_scales=scales)
 
     def sample(self, params, key, n_sample: int, *, train=False,
                dropout_rng=None) -> Dict[str, jnp.ndarray]:

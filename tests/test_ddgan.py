@@ -91,6 +91,43 @@ def test_ncsnpp_shapes():
     assert np.all(np.abs(np.asarray(out)) <= 1.0)  # tanh head
 
 
+def test_ddgan_int8_calibrate_and_sample():
+    """NCSN++ quant_int8='static' + DDGANSampler.calibrate_quant: same
+    contract as the UNetSmall/ADM int8 paths; int8 sampling tracks fp."""
+    cfg = NCSNppArgs(image_size=16, nf=16, ch_mult=(1, 2), num_res_blocks=1,
+                     attn_resolutions=(8,), nz=16, z_emb_dim=32, n_mlp=2)
+    net_q = NCSNpp(config=cfg, quant_int8="static")
+    s = DDGANSampler(net_q, n_timesteps=4, sample_shape=(3, 16, 16),
+                     trainable_beta="fix_last", use_z=True)
+    p = s.init_params(jax.random.key(0))
+    # randomize params (zero-init output convs make int8 == fp trivially)
+    leaves, tdef = jax.tree.flatten(p["net"])
+    ks = jax.random.split(jax.random.key(7), len(leaves))
+    p["net"] = jax.tree.unflatten(
+        tdef, [jax.random.normal(k, l.shape, l.dtype) * 0.05
+               for k, l in zip(ks, leaves)])
+
+    p = s.calibrate_quant(p, jax.random.key(1), n_sample=4, n_rounds=1)
+    assert "quant_scales" in p
+    assert max(float(jnp.max(a))
+               for a in jax.tree.leaves(p["quant_scales"])) > 0
+
+    d_q = jax.jit(lambda pp, k: s.sample(pp, k, 4))(p, jax.random.key(2))
+    assert np.isfinite(np.asarray(d_q["sample"])).all()
+
+    # fp twin with identical params/keys: int8 drift stays bounded
+    s_fp = DDGANSampler(NCSNpp(config=cfg), n_timesteps=4,
+                        sample_shape=(3, 16, 16), trainable_beta="fix_last",
+                        use_z=True)
+    p_fp = {"net": p["net"], "log_betas": p["log_betas"]}
+    d_fp = jax.jit(lambda pp, k: s_fp.sample(pp, k, 4))(p_fp,
+                                                        jax.random.key(2))
+    a = np.asarray(d_q["sample"], np.float32)
+    b = np.asarray(d_fp["sample"], np.float32)
+    rel = np.abs(a - b).mean() / (np.abs(b).mean() + 1e-8)
+    assert rel < 0.25, rel  # trajectory-compounded int8 drift bound
+
+
 def test_ddgan_trainer_tick():
     from dxmi_tpu.models.igebm import IGEBMEncoder
     from dxmi_tpu.models.value import TimeIndependentValue
