@@ -176,13 +176,25 @@ def main():
     os.makedirs(save_dir, exist_ok=True)
     writer = AsyncPNGWriter(save_dir, prefix=str(jax.process_index()))
 
+    # SPMD generation: shard the sample batch over all local devices (the
+    # reference spreads generation with one DDP process per GPU,
+    # generate_cifar10.py:172-180; here one program, batch on the mesh)
+    from dxmi_tpu.parallel import create_mesh, data_sharding
+
+    mesh = create_mesh()
+    out_sh = None
+    if mesh.devices.size > 1 and args.batchsize % mesh.devices.size == 0:
+        out_sh = data_sharding(mesh)
+
     if trainer is not None:
         sample_fn = jax.jit(lambda k: trainer.sample_guidance(
             state, k, args.batchsize,
-            guidance_scale=args.guidance_scale)["sample"])
+            guidance_scale=args.guidance_scale)["sample"],
+            out_shardings=out_sh)
     else:
         sample_fn = jax.jit(
-            lambda k: sampler.sample(sampler_params, k, args.batchsize)["sample"])
+            lambda k: sampler.sample(sampler_params, k, args.batchsize)["sample"],
+            out_shardings=out_sh)
 
     key = jax.random.key(args.seed)
     key = jax.random.fold_in(key, jax.process_index())
@@ -198,6 +210,12 @@ def main():
             print0(f"{i_img}/{n_local} generated")
     writer.close()
     print0(f"wrote {i_img} PNGs to {save_dir}")
+
+    # all hosts must finish writing before rank 0 reads the shared PNG dir
+    # (the reference's torch.distributed.barrier, generate_cifar10.py:211)
+    from dxmi_tpu.parallel import sync_hosts
+
+    sync_hosts("generate_pngs")
 
     if (args.eval_fid or args.stat) and jax.process_index() == 0:
         from dxmi_tpu.fid import runner as fid_runner

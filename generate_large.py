@@ -88,6 +88,15 @@ def main():
                                          n_sample=8, n_rounds=2)
         print0("int8: static activation scales calibrated")
 
+    # SPMD generation: batch sharded over all local devices (see
+    # generate_cifar10.py; the reference uses one DDP process per GPU)
+    from dxmi_tpu.parallel import create_mesh, data_sharding
+
+    mesh = create_mesh()
+    out_sh = None
+    if mesh.devices.size > 1 and args.batchsize % mesh.devices.size == 0:
+        out_sh = data_sharding(mesh)
+
     if args.guidance_scale is not None:
         # value-guided sampling (reference generate_large.py:29-30,132-146):
         # load the value function + Cond trainer, sample via sample_guidance
@@ -105,10 +114,12 @@ def main():
         print0(f"value-guided sampling, scale={args.guidance_scale}")
         sample_fn = jax.jit(lambda p, k: trainer.sample_guidance(
             state, k, args.batchsize,
-            guidance_scale=args.guidance_scale)["sample"])
+            guidance_scale=args.guidance_scale)["sample"],
+            out_shardings=out_sh)
     else:
         sample_fn = jax.jit(
-            lambda p, k: sampler.sample(p, k, args.batchsize)["sample"])
+            lambda p, k: sampler.sample(p, k, args.batchsize)["sample"],
+            out_shardings=out_sh)
 
     key = jax.random.fold_in(jax.random.key(args.seed), jax.process_index())
     n_local = args.n_generate // jax.process_count()
@@ -122,7 +133,14 @@ def main():
         writer = AsyncPNGWriter(save_dir, prefix=str(jax.process_index()))
 
     acts = []
-    npz_batches = [] if args.save_npz else None
+    npz_writer = None
+    if args.save_npz and jax.process_index() == 0:
+        from dxmi_tpu.utils.npz_stream import NpzStreamWriter
+
+        h, w_, c = sampler.sample_shape
+        npz_writer = NpzStreamWriter(args.save_npz,
+                                     n_total=n_batches * args.batchsize,
+                                     shape_tail=(h, w_, c))
     fid_state = None
     if not args.skip_fid:
         from dxmi_tpu.fid import runner as fid_runner
@@ -149,8 +167,8 @@ def main():
         xu8 = to_uint8(np.asarray(x))
         if writer is not None:
             writer.put_batch(i_img, xu8)
-        if npz_batches is not None:
-            npz_batches.append(xu8)
+        if npz_writer is not None:
+            npz_writer.write(xu8)
         i_img += len(xu8)
         if (i + 1) % 10 == 0:
             print0(f"{i_img}/{n_local}")
@@ -158,9 +176,13 @@ def main():
     if writer is not None:
         writer.close()
         print0(f"wrote {i_img} PNGs")
-    if npz_batches is not None and jax.process_index() == 0:
-        np.savez(args.save_npz, arr_0=np.concatenate(npz_batches))
-        print0(f"saved npz to {args.save_npz}")
+        from dxmi_tpu.parallel import sync_hosts
+
+        sync_hosts("generate_pngs")  # reference barrier before rank-0 reads
+    if npz_writer is not None:
+        npz_writer.close()
+        print0(f"saved npz to {args.save_npz} ({npz_writer.n} images, "
+               "streamed)")
 
     if fid_state is not None and jax.process_index() == 0:
         from dxmi_tpu.fid import stats as stats_lib

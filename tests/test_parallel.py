@@ -41,6 +41,36 @@ def test_fsdp_compute_equivalence():
                                atol=1e-5)
 
 
+def test_sharded_generation_matches_single_device():
+    """Sampling jitted with a data-sharded output (the generate entries'
+    SPMD path) is bitwise identical to the unsharded program and actually
+    lands sharded across the mesh."""
+    import jax.numpy as jnp
+
+    from dxmi_tpu.models.unet_small import UNetSmall
+    from dxmi_tpu.parallel import create_mesh, data_sharding
+    from dxmi_tpu.samplers.var import VARSampler
+
+    net = UNetSmall(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+                    attn_resolutions=(8,), dropout=0.0, in_channels=3,
+                    resolution=16)
+    s = VARSampler(net, n_timesteps=4, sample_shape=(3, 16, 16),
+                   trainable_beta="fix_last")
+    params = s.init_params(jax.random.key(0))
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+
+    k = jax.random.key(3)
+    ref = jax.jit(lambda kk: s.sample(params, kk, 16)["sample"])(k)
+    sh = jax.jit(lambda kk: s.sample(params, kk, 16)["sample"],
+                 out_shardings=data_sharding(mesh))(k)
+    assert len(sh.sharding.device_set) == 8
+    # threefry is sharding-invariant (jax_threefry_partitionable), so the
+    # only difference is partitioning-dependent fusion rounding (~1e-6)
+    np.testing.assert_allclose(np.asarray(sh), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_dryrun_multichip_contract():
     import __graft_entry__ as g
 

@@ -144,6 +144,32 @@ def test_evaluator_prec_recall_sanity():
     assert inception_score(probs) == pytest.approx(1.0, abs=1e-5)
 
 
+def test_npz_stream_writer_roundtrip(tmp_path):
+    """NpzStreamWriter output loads via np.load AND the evaluator's
+    streaming reader; wrong row counts are rejected."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from dxmi_tpu.utils.npz_stream import NpzStreamWriter
+    from evaluations.evaluator import iter_npz_batches
+
+    imgs = (np.random.RandomState(5).rand(10, 8, 8, 3) * 255).astype(np.uint8)
+    p = tmp_path / "stream.npz"
+    w = NpzStreamWriter(str(p), n_total=10, shape_tail=(8, 8, 3))
+    for i in range(0, 10, 4):
+        w.write(imgs[i:i + 4])
+    w.close()
+    with np.load(p) as d:
+        np.testing.assert_array_equal(d["arr_0"], imgs)
+    np.testing.assert_array_equal(
+        np.concatenate(list(iter_npz_batches(str(p), 3))), imgs)
+
+    w2 = NpzStreamWriter(str(tmp_path / "bad.npz"), n_total=8,
+                         shape_tail=(8, 8, 3))
+    w2.write(imgs[:4])
+    with pytest.raises(ValueError):
+        w2.close()
+
+
 def test_evaluator_npz_streaming(tmp_path):
     """iter_npz_batches streams compressed/uncompressed npz members
     identically to a full read, including a short last chunk."""
