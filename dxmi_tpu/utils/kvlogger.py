@@ -22,14 +22,27 @@ class KVLogger:
         self.logdir = logdir
         self.name2val: Dict[str, float] = {}
         self.name2cnt: Dict[str, int] = defaultdict(int)
-        self._csv = self._json = None
+        self._csv = self._json = self._log = self._tb = None
         self._csv_keys = []
+        self._step = 0
         if logdir:
             os.makedirs(logdir, exist_ok=True)
             if "csv" in formats:
                 self._csv = open(os.path.join(logdir, "progress.csv"), "a+")
             if "json" in formats:
                 self._json = open(os.path.join(logdir, "progress.json"), "a+")
+            if "log" in formats:
+                self._log = open(os.path.join(logdir, "log.txt"), "a")
+            if "tensorboard" in formats:
+                # reference make_output_format 'tensorboard'
+                # (models/cm/logger.py:201-202)
+                try:
+                    from tensorboardX import SummaryWriter
+
+                    self._tb = SummaryWriter(
+                        logdir=os.path.join(logdir, "tb"))
+                except ImportError:
+                    pass
         self.stdout = "stdout" in formats
 
     def logkv(self, key: str, val: Any) -> None:
@@ -42,14 +55,25 @@ class KVLogger:
 
     def dumpkvs(self) -> Dict[str, Any]:
         d = dict(self.name2val)
-        if self.stdout and d:
+        if (self.stdout or self._log) and d:
             width = max(len(k) for k in d)
-            print("-" * (width + 24))
+            lines = ["-" * (width + 24)]
             for k in sorted(d):
                 v = d[k]
                 vs = f"{v:<12.5g}" if isinstance(v, float) else str(v)
-                print(f"| {k:<{width}} | {vs:<18} |")
-            print("-" * (width + 24), flush=True)
+                lines.append(f"| {k:<{width}} | {vs:<18} |")
+            lines.append("-" * (width + 24))
+            if self.stdout:
+                print("\n".join(lines), flush=True)
+            if self._log:
+                self._log.write("\n".join(lines) + "\n")
+                self._log.flush()
+        if self._tb is not None and d:
+            self._step += 1
+            for k, v in d.items():
+                if isinstance(v, (int, float)):
+                    self._tb.add_scalar(k, float(v), self._step)
+            self._tb.flush()
         if self._json and d:
             self._json.write(json.dumps(
                 {k: float(v) if isinstance(v, (int, float)) else str(v)
@@ -77,12 +101,21 @@ class KVLogger:
 _GLOBAL: Optional[KVLogger] = None
 
 
-def configure(logdir: Optional[str] = None) -> KVLogger:
+def configure(logdir: Optional[str] = None,
+              formats: Optional[tuple] = None) -> KVLogger:
+    """Reference ``logger.configure`` contract (models/cm/logger.py:359-):
+    dir from the env when not given; formats from ``DXMI_LOG_FORMAT``
+    (comma-separated, like OPENAI_LOG_FORMAT — stdout/log/csv/json/
+    tensorboard)."""
     global _GLOBAL
     if logdir is None:
         logdir = os.environ.get("DXMI_LOGDIR") or os.path.join(
             "/tmp", "dxmi-" + datetime.datetime.now().strftime("%Y%m%d-%H%M%S"))
-    _GLOBAL = KVLogger(logdir)
+    if formats is None:
+        env = os.environ.get("DXMI_LOG_FORMAT")
+        formats = tuple(f.strip() for f in env.split(",")) if env \
+            else ("stdout", "csv", "json")
+    _GLOBAL = KVLogger(logdir, formats=formats)
     return _GLOBAL
 
 

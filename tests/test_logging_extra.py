@@ -27,6 +27,33 @@ def test_kvlogger_mean_and_dump(tmp_path):
     assert "loss" in csv[0] and "new_key" in csv[0]
 
 
+def test_kvlogger_log_and_tensorboard_formats(tmp_path):
+    """'log' writes the human table to log.txt; 'tensorboard' writes TB
+    events when tensorboardX is present (reference make_output_format,
+    models/cm/logger.py:191-204)."""
+    from dxmi_tpu.utils.kvlogger import KVLogger, configure
+
+    kv = KVLogger(str(tmp_path), formats=("log", "tensorboard"))
+    kv.logkv("grad_norm", 0.5)
+    kv.dumpkvs()
+    txt = (tmp_path / "log.txt").read_text()
+    assert "grad_norm" in txt
+    try:
+        import tensorboardX  # noqa: F401
+
+        assert os.listdir(tmp_path / "tb")
+    except ImportError:
+        pass
+
+    # DXMI_LOG_FORMAT env selects formats through configure()
+    os.environ["DXMI_LOG_FORMAT"] = "log"
+    try:
+        lg = configure(str(tmp_path / "cfg"))
+        assert lg._log is not None and lg._csv is None and not lg.stdout
+    finally:
+        del os.environ["DXMI_LOG_FORMAT"]
+
+
 def test_phase_timer():
     from dxmi_tpu.utils.profiling import PhaseTimer
 
