@@ -170,12 +170,39 @@ def load_data(data_dir: str, batch_size: int, image_size: int,
 
     q: "queuelib.Queue" = queuelib.Queue(maxsize=max(1, prefetch))
     pool = ThreadPoolExecutor(max_workers=num_workers)
+    stop = threading.Event()
 
     def producer():
-        for epoch, idx in index_batches():
-            rows = list(pool.map(lambda j: load_one(epoch, j), idx))
-            q.put(pack([x for x, _ in rows], [y for _, y in rows]))
+        try:
+            for epoch, idx in index_batches():
+                rows = list(pool.map(lambda j: load_one(epoch, j), idx))
+                batch = pack([x for x, _ in rows], [y for _, y in rows])
+                while not stop.is_set():  # bounded put that honors shutdown
+                    try:
+                        q.put(batch, timeout=0.5)
+                        break
+                    except queuelib.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as e:  # surface decode errors to the consumer
+            q.put(e)
 
-    threading.Thread(target=producer, daemon=True).start()
-    while True:
-        yield q.get()
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # generator closed/abandoned: unblock and reap the producer + pool
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queuelib.Empty:
+            pass
+        thread.join(timeout=5.0)
+        pool.shutdown(wait=False, cancel_futures=True)

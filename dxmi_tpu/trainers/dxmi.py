@@ -607,16 +607,22 @@ class DxMITrainer:
     def sample_guidance(self, state: DxMIState, key: jax.Array, n_sample: int,
                         guidance_scale: Optional[float] = None,
                         x0: Optional[jnp.ndarray] = None,
-                        t_select: Optional[Tuple[int, ...]] = None) -> Dict[str, Any]:
+                        t_select: Optional[Tuple[int, ...]] = None,
+                        y: Optional[jnp.ndarray] = None) -> Dict[str, Any]:
         """Sample with value-gradient guidance: after each policy step, move
-        along grad_x V(x, t+1) scaled by guidance_scale * sigma."""
+        along grad_x V(x, t+1) scaled by guidance_scale * sigma. The prior
+        is scaled by the policy's sigma_max when it has one (1.0 for the
+        DDPM/VAR policies); ``y`` threads class labels into each
+        ``sample_step`` (the Cond subclass draws them when None)."""
         if guidance_scale is None:
             guidance_scale = self.guidance_scale
         T = self.n_timesteps
 
         if x0 is None:
             key, k0 = jax.random.split(key)
-            x0 = jax.random.normal(k0, (n_sample, *self.sampler.sample_shape))
+            x0 = jax.random.normal(
+                k0, (n_sample, *self.sampler.sample_shape)) \
+                * float(getattr(self.sampler, "sigma_max", 1.0))
 
         def v_sum(x, t):
             return self._v_apply(state.v_params, x, t,
@@ -627,7 +633,8 @@ class DxMITrainer:
         def step(x, inputs):
             t, k = inputs
             tvec = jnp.full((x.shape[0],), t, dtype=jnp.int32)
-            d = self.sampler.sample_step(state.sampler_params, x, tvec, k)
+            d = self.sampler.sample_step(state.sampler_params, x, tvec, k,
+                                         y=y)
             next_x = jax.lax.stop_gradient(d["sample"])
             g = grad_v(next_x, tvec + 1)
             sigma = d["sigma"].reshape(-1, *([1] * (x.ndim - 1)))
@@ -651,6 +658,7 @@ class DxMITrainer:
             "logp_traj": traj["logp"].sum(axis=0),
             "logp_on_traj": traj["logp_on"].sum(axis=0),
             "guidance": traj["guidance"],
+            "y": y,
         }
 
 

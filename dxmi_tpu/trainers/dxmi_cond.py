@@ -53,29 +53,19 @@ class DxMITrainerCond(DxMITrainer):
 
     def sample_guidance(self, state: DxMIState, key: jax.Array, n_sample: int,
                         guidance_scale: Optional[float] = None,
-                        x0=None, t_select=None, i_class=None):
+                        x0=None, t_select=None, i_class=None, y=None):
         """Value-guided sampling, conditional/EDM variant
-        (trainer.py:811-860): the prior is scaled by the policy's
-        ``sigma_max`` and a random class label is threaded through every
-        ``sample_step`` (the reference hard-codes 1000 classes; here the
-        sampler's ``num_classes`` is used). The value itself is queried
+        (trainer.py:811-860): draws a random class label per sample (the
+        reference hard-codes 1000 classes; here the sampler's
+        ``num_classes``) and delegates to the base implementation, which
+        scales the prior by the policy's sigma_max and threads ``y``
+        through every ``sample_step``. The value itself is queried
         unconditionally, as in the reference (``self.v.module(next_x,
         tt+1)`` — no ``y``)."""
         import jax.numpy as jnp
 
-        from dxmi_tpu.trainers.dxmi import _normal_logp_mean
-
-        if guidance_scale is None:
-            guidance_scale = self.guidance_scale
-        T = self.n_timesteps
-        sigma_max = float(getattr(self.sampler, "sigma_max", 1.0))
-
-        key, k0, ky = jax.random.split(key, 3)
-        if x0 is None:
-            x0 = jax.random.normal(
-                k0, (n_sample, *self.sampler.sample_shape)) * sigma_max
-        y = None
-        if getattr(self.sampler, "class_cond", False):
+        key, ky = jax.random.split(key)
+        if y is None and getattr(self.sampler, "class_cond", False):
             if i_class is None:
                 n_classes = int(getattr(self.sampler, "num_classes", 0)
                                 or 1000)
@@ -84,40 +74,6 @@ class DxMITrainerCond(DxMITrainer):
                 y = jnp.full((n_sample,), i_class, jnp.int32)
             else:
                 y = jnp.asarray(i_class, jnp.int32)
-
-        def v_sum(x, t):
-            return self._v_apply(state.v_params, x, t,
-                                 stats=state.v_stats).sum()
-
-        grad_v = jax.grad(v_sum)
-
-        def step(x, inputs):
-            t, k = inputs
-            tvec = jnp.full((x.shape[0],), t, dtype=jnp.int32)
-            d = self.sampler.sample_step(state.sampler_params, x, tvec, k,
-                                         y=y)
-            next_x = jax.lax.stop_gradient(d["sample"])
-            g = grad_v(next_x, tvec + 1)
-            sigma = d["sigma"].reshape(-1, *([1] * (x.ndim - 1)))
-            guidance = g * guidance_scale * sigma
-            if t_select is not None:
-                use = jnp.isin(t, jnp.asarray(t_select))
-                next_x = jnp.where(use, next_x + guidance, next_x)
-            else:
-                next_x = next_x + guidance
-            logp_orig = _normal_logp_mean(next_x, d["mean"], sigma)
-            return next_x, {"x": next_x, "guidance": guidance,
-                            "logp": d["logp"], "logp_on": logp_orig}
-
-        keys = jax.random.split(key, T)
-        x_final, traj = jax.lax.scan(step, x0, (jnp.arange(T), keys))
-        return {
-            "sample": x_final,
-            "l_sample": jnp.concatenate([x0[None], traj["x"]], axis=0),
-            "logp": traj["logp"],
-            "logp_on": traj["logp_on"],
-            "logp_traj": traj["logp"].sum(axis=0),
-            "logp_on_traj": traj["logp_on"].sum(axis=0),
-            "guidance": traj["guidance"],
-            "y": y,
-        }
+        return super().sample_guidance(state, key, n_sample,
+                                       guidance_scale=guidance_scale, x0=x0,
+                                       t_select=t_select, y=y)

@@ -42,6 +42,25 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         return serialization.msgpack_restore(f.read())
 
 
+def load_sampler_params(path: str, current: Optional[Dict[str, Any]] = None
+                        ) -> Dict[str, Any]:
+    """Load SAMPLER params from a dxmi_tpu .msgpack, whatever its layout:
+    a run-dir/save_checkpoint payload ({'params': ..., 'meta': ...}), a
+    bare full-sampler tree ({'net': ..., 'log_betas': ...}), or a bare
+    net tree (scripts/convert_checkpoint.py output). ``current`` supplies
+    the non-net entries (log_betas, ...) when the file holds only a net
+    tree."""
+    import jax.numpy as jnp
+
+    ckpt = load_checkpoint(path)
+    tree = ckpt.get("params", ckpt) if isinstance(ckpt, dict) else ckpt
+    if "net" in tree:  # full sampler params (net + log_betas ...)
+        return jax.tree.map(jnp.asarray, tree)
+    out = dict(current or {})
+    out["net"] = jax.tree.map(jnp.asarray, tree)
+    return out
+
+
 def save_run_checkpoint(logdir: str, postfix: str, *, sampler_params=None,
                         v_params=None, f_params=None,
                         v_stats=None, f_stats=None,

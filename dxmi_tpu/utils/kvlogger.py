@@ -42,7 +42,11 @@ class KVLogger:
                     self._tb = SummaryWriter(
                         logdir=os.path.join(logdir, "tb"))
                 except ImportError:
-                    pass
+                    print("kvlogger: tensorboardX not installed — "
+                          "'tensorboard' format dropped", file=sys.stderr)
+        elif any(f in formats for f in ("csv", "json", "log", "tensorboard")):
+            print(f"kvlogger: no logdir — file formats {formats} dropped",
+                  file=sys.stderr)
         self.stdout = "stdout" in formats
 
     def logkv(self, key: str, val: Any) -> None:

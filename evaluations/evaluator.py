@@ -140,6 +140,7 @@ def iter_npz_batches(path, batch):
 
     from numpy.lib import format as npfmt
 
+    yielded = False
     try:
         with zipfile.ZipFile(path) as z:
             names = z.namelist()
@@ -159,8 +160,13 @@ def iter_npz_batches(path, batch):
                         raise EOFError("truncated npy member")
                     yield np.frombuffer(buf, dtype=dtype).reshape(
                         (k,) + tuple(shape[1:]))
+                    yielded = True
         return
     except Exception as e:  # streaming not possible — load whole array
+        if yielded:
+            # a mid-stream failure after chunks went out must NOT restart
+            # from the top (the consumer would double-count rows)
+            raise
         print(f"  (npz streaming unavailable: {e}; reading whole array)")
     imgs = read_npz_images(path)
     for i in range(0, len(imgs), batch):

@@ -176,12 +176,13 @@ def main():
     os.makedirs(save_dir, exist_ok=True)
     writer = AsyncPNGWriter(save_dir, prefix=str(jax.process_index()))
 
-    # SPMD generation: shard the sample batch over all local devices (the
-    # reference spreads generation with one DDP process per GPU,
-    # generate_cifar10.py:172-180; here one program, batch on the mesh)
+    # SPMD generation: shard the sample batch over this process's LOCAL
+    # devices (the reference spreads generation with one DDP process per
+    # GPU, generate_cifar10.py:172-180). The loop is per-host independent
+    # (per-process keys + shards), so the mesh must be local, not global.
     from dxmi_tpu.parallel import create_mesh, data_sharding
 
-    mesh = create_mesh()
+    mesh = create_mesh(devices=jax.local_devices())
     out_sh = None
     if mesh.devices.size > 1 and args.batchsize % mesh.devices.size == 0:
         out_sh = data_sharding(mesh)

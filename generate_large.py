@@ -42,7 +42,7 @@ def main():
     p.add_argument("--batchsize", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--guidance_scale", type=float, default=None,
-                   help="Value guidance scale, 0.0 for no guidance "
+                   help="Value guidance scale, 0.0/unset for no guidance "
                         "(reference generate_large.py:90): samples via the "
                         "Cond trainer's value-guided path, loading "
                         "value_{best,last}.msgpack from the run dir")
@@ -88,16 +88,16 @@ def main():
                                          n_sample=8, n_rounds=2)
         print0("int8: static activation scales calibrated")
 
-    # SPMD generation: batch sharded over all local devices (see
+    # SPMD generation: batch sharded over this process's LOCAL devices (see
     # generate_cifar10.py; the reference uses one DDP process per GPU)
     from dxmi_tpu.parallel import create_mesh, data_sharding
 
-    mesh = create_mesh()
+    mesh = create_mesh(devices=jax.local_devices())
     out_sh = None
     if mesh.devices.size > 1 and args.batchsize % mesh.devices.size == 0:
         out_sh = data_sharding(mesh)
 
-    if args.guidance_scale is not None:
+    if args.guidance_scale:
         # value-guided sampling (reference generate_large.py:29-30,132-146):
         # load the value function + Cond trainer, sample via sample_guidance
         value = instantiate(cfg["value"])
@@ -112,10 +112,13 @@ def main():
         state = trainer.init_state(params, v_params, v_stats=v_stats)
         trainer.guidance_scale = args.guidance_scale
         print0(f"value-guided sampling, scale={args.guidance_scale}")
-        sample_fn = jax.jit(lambda p, k: trainer.sample_guidance(
-            state, k, args.batchsize,
+        # state (not the loose params) carries the sampler weights here;
+        # pass it as a jit argument so the call sites' params stay honest
+        sample_fn = jax.jit(lambda st, k: trainer.sample_guidance(
+            st, k, args.batchsize,
             guidance_scale=args.guidance_scale)["sample"],
             out_shardings=out_sh)
+        params = state
     else:
         sample_fn = jax.jit(
             lambda p, k: sampler.sample(p, k, args.batchsize)["sample"],

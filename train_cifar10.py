@@ -74,12 +74,7 @@ def init_state(cfg, sampler, value, trainer, key):
     if ckpt_path and os.path.exists(ckpt_path):
         if ckpt_path.endswith(".msgpack"):
             # pre-converted / previously-trained dxmi_tpu params
-            ckpt = ckptlib.load_checkpoint(ckpt_path)
-            tree = ckpt.get("params", ckpt)
-            if "net" in tree:  # full sampler params (net + log_betas ...)
-                sp = jax.tree.map(jnp.asarray, tree)
-            else:
-                sp["net"] = jax.tree.map(jnp.asarray, tree)
+            sp = ckptlib.load_sampler_params(ckpt_path, current=sp)
         else:
             target = str(cfg["sampler_net"].get("_target_", ""))
             if "ncsnpp" in target.lower():

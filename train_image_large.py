@@ -63,12 +63,7 @@ def build_sampler(cfg, key):
     if ckpt_path and os.path.exists(ckpt_path):
         if ckpt_path.endswith(".msgpack"):
             # pre-converted / previously-trained dxmi_tpu params
-            ckpt = ckptlib.load_checkpoint(ckpt_path)
-            tree = ckpt.get("params", ckpt)
-            if "net" in tree:  # full sampler params (net + log_betas ...)
-                params = jax.tree.map(jnp.asarray, tree)
-            else:
-                params["net"] = jax.tree.map(jnp.asarray, tree)
+            params = ckptlib.load_sampler_params(ckpt_path, current=params)
         else:
             from dxmi_tpu.utils import convert
 
