@@ -88,3 +88,30 @@ def test_load_data_sharding(image_dir):
     x0, _ = next(g0)
     x1, _ = next(g1)
     assert not np.allclose(x0, x1)  # disjoint shards
+
+
+def test_tensor_file_dataset(tmp_path):
+    """README MVTec layout (datasets/mvtec/train_data.pth): tensor files
+    load to NHWC [-1,1] with optional labels and batch infinitely."""
+    import torch
+
+    from dxmi_tpu.data.tensor_file import load_tensor_dataset, tensor_batches
+
+    imgs = torch.rand(10, 3, 16, 16)  # NCHW in [0,1]
+    p = tmp_path / "train_data.pth"
+    torch.save(imgs, p)
+    arr, labels = load_tensor_dataset(str(p))
+    assert arr.shape == (10, 16, 16, 3) and labels is None
+    assert -1.0 <= arr.min() and arr.max() <= 1.0
+
+    # (data, labels) tuple form + infinite batching
+    torch.save((imgs * 255, torch.arange(10)), p)
+    gen = tensor_batches(str(p), 4, seed=0)
+    for _ in range(5):
+        x, extra = next(gen)
+        assert x.shape == (4, 16, 16, 3)
+        assert extra["y"].shape == (4,)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        next(tensor_batches(str(p), 4, image_size=32))

@@ -112,6 +112,14 @@ def main():
             while True:
                 yield rng.rand(B, res, res, 3).astype(np.float32) * 2 - 1, {}
         data = gen()
+    elif args.data_dir.endswith((".pth", ".pt")) or os.path.isfile(
+            os.path.join(args.data_dir, "train_data.pth")):
+        # the reference README's MVTec layout: datasets/mvtec/train_data.pth
+        from dxmi_tpu.data.tensor_file import tensor_batches
+
+        path = (args.data_dir if args.data_dir.endswith((".pth", ".pt"))
+                else os.path.join(args.data_dir, "train_data.pth"))
+        data = tensor_batches(path, B, seed=args.seed, image_size=res)
     else:
         data = load_data(args.data_dir, B, res, seed=args.seed)
 
