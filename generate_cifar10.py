@@ -104,7 +104,10 @@ def to_uint8(x: np.ndarray) -> np.ndarray:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--log_dir", required=True)
-    p.add_argument("--sampler", default="best", choices=["best", "last"])
+    p.add_argument("--sampler", "--epoch", dest="sampler", default="best",
+                   choices=["best", "last"],
+                   help="which checkpoint to load (the reference calls "
+                        "this flag --epoch, generate_cifar10.py:69-73)")
     p.add_argument("-n", "--n_generate", type=int, default=50000)
     p.add_argument("--batchsize", type=int, default=100)
     p.add_argument("--stat", default=None,
@@ -120,7 +123,12 @@ def main():
                         "on the CIFAR net, ~4.5%% sample drift — PERF.md)")
     p.add_argument("--cleanup", action="store_true",
                    help="delete generated PNGs after FID")
+    p.add_argument("-save", "--save_images", default=None,
+                   help="reference flag (generate_cifar10.py:75-80): "
+                        "False deletes the PNGs after FID (== --cleanup)")
     args, unknown = p.parse_known_args()
+    if str(args.save_images).lower() in ("false", "0", "no"):
+        args.cleanup = True
 
     cfg = cfglib.load_yaml(os.path.join(args.log_dir, "config.yaml"))
     d_cmd = cfglib.parse_nested_args(cfglib.parse_unknown_args(unknown))
