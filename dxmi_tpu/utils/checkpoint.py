@@ -42,6 +42,68 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         return serialization.msgpack_restore(f.read())
 
 
+def resolve_run_checkpoint(log_dir: str, name: str, which: str):
+    """Resolve a run-dir checkpoint with the reference's back-compat
+    order (generate_cifar10.py:133-140): ``{name}_{which}.msgpack`` ->
+    ``{name}.msgpack`` -> ``{name}_{which}.pth`` -> ``{name}.pth``.
+    Returns (path, 'msgpack'|'torch')."""
+    for cand, fmt in ((f"{name}_{which}.msgpack", "msgpack"),
+                      (f"{name}.msgpack", "msgpack"),
+                      (f"{name}_{which}.pth", "torch"),
+                      (f"{name}.pth", "torch"),
+                      (f"{name}_{which}.pt", "torch"),
+                      (f"{name}.pt", "torch")):
+        p = os.path.join(log_dir, cand)
+        if os.path.exists(p):
+            return p, fmt
+    raise FileNotFoundError(
+        f"no {name} checkpoint in {log_dir} (tried {name}_{which}.msgpack, "
+        f"{name}.msgpack, {name}_{which}.pth, {name}.pth)")
+
+
+def load_run_checkpoint(log_dir: str, name: str, which: str,
+                        torch_kind: Optional[str] = None):
+    """Load a run-dir checkpoint payload ({'params', 'meta'[, 'sn_stats']})
+    resolving both dxmi_tpu msgpack names AND the reference's torch run-dir
+    contract — a published ``sampler.pth`` run dir works directly, with
+    conversion per ``torch_kind`` ('unet_small' | 'unet_adm' | 'igebm' |
+    'value'; None = no converter for this net). Returns (payload, path)."""
+    path, fmt = resolve_run_checkpoint(log_dir, name, which)
+    if fmt == "msgpack":
+        return load_checkpoint(path), path
+    if torch_kind is None:
+        raise SystemExit(
+            f"{path}: found a torch checkpoint but this net has no "
+            "torch->flax converter (the DDGAN NCSN++ is a documented "
+            "reconstruction, SURVEY.md §2.0) — convert/train a dxmi_tpu "
+            ".msgpack instead (docs/migration.md)")
+    from dxmi_tpu.utils import convert
+
+    state = load_torch_checkpoint(path)
+    meta = state.pop("__meta__", {})
+    if torch_kind == "unet_small":
+        out = convert.convert_unet_small(state)
+    elif torch_kind == "unet_adm":
+        out = convert.convert_unet_adm(state)
+    elif torch_kind == "igebm":
+        out = convert.convert_igebm(state)
+    elif torch_kind == "value":
+        out = convert.wrap_value_params(convert.convert_igebm(state))
+    else:
+        raise ValueError(f"unknown torch_kind {torch_kind}")
+    params = out["params"]
+    if "log_betas" in out:
+        params = {"net": params, "log_betas": out["log_betas"]}
+    payload: Dict[str, Any] = {
+        "params": params,
+        "meta": {k: v for k, v in meta.items()
+                 if isinstance(v, (int, float, str))},
+    }
+    if "sn_stats" in out:
+        payload["sn_stats"] = out["sn_stats"]
+    return payload, path
+
+
 def load_sampler_params(path: str, current: Optional[Dict[str, Any]] = None
                         ) -> Dict[str, Any]:
     """Load SAMPLER params from a dxmi_tpu .msgpack, whatever its layout:
@@ -143,6 +205,12 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    meta = {}
+    if isinstance(ckpt, dict):
+        # outer metadata (fid/epoch/i_iter next to 'state_dict',
+        # reference train_cifar10.py:58-79) survives the unwrap
+        meta = {k: v for k, v in ckpt.items()
+                if not hasattr(v, "detach") and not isinstance(v, dict)}
     if isinstance(ckpt, dict) and any(
             hasattr(v, "detach") for v in ckpt.values()):
         state = ckpt
@@ -151,7 +219,6 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
 
         state = fix_legacy_dict(ckpt)
     out = {}
-    meta = {}
     for k, v in state.items():
         if hasattr(v, "detach"):
             out[k] = v.detach().cpu().numpy()

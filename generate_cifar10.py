@@ -148,9 +148,15 @@ def main():
         net = instantiate(cfg["sampler_net"])
     sampler = instantiate(cfg["sampler"], net=net)
 
-    ckpt_path = os.path.join(args.log_dir, f"sampler_{args.sampler}.msgpack")
-    ckpt = ckptlib.load_checkpoint(ckpt_path)
+    target = str(cfg["sampler_net"].get("_target_", "")).lower()
+    torch_kind = "unet_small" if "unet_small" in target else None
+    ckpt, ckpt_path = ckptlib.load_run_checkpoint(
+        args.log_dir, "sampler", args.sampler, torch_kind=torch_kind)
     sampler_params = jax.tree.map(jnp.asarray, ckpt["params"])
+    if "log_betas" not in sampler_params:  # base (pre-DxMI) torch ckpt
+        sampler_params = {**sampler.init_params(jax.random.key(0)),
+                          **sampler_params}
+    print0(f"sampler loaded from {ckpt_path}")
     meta = ckpt.get("meta", {})
     if "fid" in meta:
         print0(f"checkpoint FID {meta['fid']} (epoch {meta.get('epoch')})")
@@ -170,8 +176,9 @@ def main():
                               batchsize=args.batchsize,
                               n_timesteps=cfg["sampler"]["n_timesteps"])
         trainer.set_models(sampler, value, lr=1e-7, v_lr=1e-5)
-        v_ckpt = ckptlib.load_checkpoint(
-            os.path.join(args.log_dir, f"value_{args.sampler}.msgpack"))
+        v_ckpt, v_path = ckptlib.load_run_checkpoint(
+            args.log_dir, "value", args.sampler, torch_kind="value")
+        print0(f"value loaded from {v_path}")
         v_params = jax.tree.map(jnp.asarray, v_ckpt["params"])
         v_stats = (jax.tree.map(jnp.asarray, v_ckpt["sn_stats"])
                    if "sn_stats" in v_ckpt else None)

@@ -78,9 +78,12 @@ def main():
                               distillation=distillation)
     sampler = EDMSampler(net, denoiser, **cfg["sampler"])
 
-    ckpt = ckptlib.load_checkpoint(
-        os.path.join(args.log_dir, f"sampler_{args.sampler}.msgpack"))
+    ckpt, ckpt_path = ckptlib.load_run_checkpoint(
+        args.log_dir, "sampler", args.sampler, torch_kind="unet_adm")
     params = jax.tree.map(jnp.asarray, ckpt["params"])
+    if "log_betas" not in params:  # base (pre-DxMI) EDM torch ckpt
+        params = {**sampler.init_params(jax.random.key(0)), **params}
+    print0(f"sampler loaded from {ckpt_path}")
     if "fid" in ckpt.get("meta", {}):
         print0(f"checkpoint FID {ckpt['meta']['fid']}")
     if args.int8:
@@ -104,8 +107,9 @@ def main():
         trainer = instantiate(cfg["trainer"], batchsize=args.batchsize,
                               n_timesteps=cfg["sampler"]["n_timesteps"])
         trainer.set_models(sampler, value, lr=1e-8, v_lr=1e-5)
-        v_ckpt = ckptlib.load_checkpoint(
-            os.path.join(args.log_dir, f"value_{args.sampler}.msgpack"))
+        v_ckpt, v_path = ckptlib.load_run_checkpoint(
+            args.log_dir, "value", args.sampler, torch_kind="value")
+        print0(f"value loaded from {v_path}")
         v_params = jax.tree.map(jnp.asarray, v_ckpt["params"])
         v_stats = (jax.tree.map(jnp.asarray, v_ckpt["sn_stats"])
                    if "sn_stats" in v_ckpt else None)

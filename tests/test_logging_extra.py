@@ -77,3 +77,29 @@ def test_orbax_roundtrip(tmp_path):
     back = C.load_checkpoint_orbax(path, like=tree)
     np.testing.assert_allclose(back["a"], tree["a"])
     np.testing.assert_allclose(back["b"]["c"], tree["b"]["c"])
+
+
+def test_resolve_run_checkpoint_order(tmp_path):
+    """Run-dir resolution follows the reference's back-compat order
+    (generate_cifar10.py:133-140): postfixed msgpack, bare msgpack, then
+    torch files."""
+    from dxmi_tpu.utils import checkpoint as C
+
+    with np.testing.assert_raises(FileNotFoundError):
+        C.resolve_run_checkpoint(str(tmp_path), "sampler", "best")
+
+    (tmp_path / "sampler.pth").write_bytes(b"x")
+    p, fmt = C.resolve_run_checkpoint(str(tmp_path), "sampler", "best")
+    assert p.endswith("sampler.pth") and fmt == "torch"
+
+    C.save_checkpoint(str(tmp_path / "sampler.msgpack"), {"w": np.ones(2)})
+    p, fmt = C.resolve_run_checkpoint(str(tmp_path), "sampler", "best")
+    assert p.endswith("sampler.msgpack") and fmt == "msgpack"
+
+    C.save_checkpoint(str(tmp_path / "sampler_best.msgpack"),
+                      {"w": np.zeros(2)})
+    p, fmt = C.resolve_run_checkpoint(str(tmp_path), "sampler", "best")
+    assert p.endswith("sampler_best.msgpack")
+
+    payload, path = C.load_run_checkpoint(str(tmp_path), "sampler", "best")
+    assert np.asarray(payload["params"]["w"]).sum() == 0

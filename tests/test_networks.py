@@ -211,3 +211,47 @@ def test_conv_taps_param_and_numeric_parity():
     np.testing.assert_allclose(np.asarray(conv.apply(params, x)),
                                np.asarray(taps.apply(params, x)),
                                atol=2e-5)
+
+
+@pytest.mark.slow
+@requires_reference
+def test_torch_run_dir_loads_directly(reference_path, tmp_path):
+    """A published-style torch run dir (sampler.pth holding
+    {'state_dict', 'fid', 'epoch'}) loads through load_run_checkpoint
+    with conversion + metadata — the reference run-dir contract works
+    without a manual convert step."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, str(reference_path))
+    try:
+        from models.DxMI import unet_small as ref_unet
+    finally:
+        sys.path.pop(0)
+
+    from dxmi_tpu.utils import checkpoint as C
+
+    torch.manual_seed(0)
+    tm = ref_unet.Model(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+                        attn_resolutions=[8], dropout=0.0, in_channels=3,
+                        resolution=16)
+    torch.save({"state_dict": tm.state_dict(), "fid": 3.25, "epoch": 7},
+               tmp_path / "sampler.pth")
+
+    payload, path = C.load_run_checkpoint(str(tmp_path), "sampler", "best",
+                                          torch_kind="unet_small")
+    assert path.endswith("sampler.pth")
+    assert payload["meta"]["fid"] == 3.25 and payload["meta"]["epoch"] == 7
+    p = payload["params"]
+    net_tree = p["net"] if "net" in p else p
+    # converted tree drives the flax net
+    model = UNetSmall(**TINY)
+    x = jnp.zeros((2, 16, 16, 3))
+    out = model.apply({"params": net_tree}, x, jnp.zeros((2,)))
+    assert out.shape == (2, 16, 16, 3)
+
+    # a net with no converter errors out clearly
+    with pytest.raises(SystemExit):
+        C.load_run_checkpoint(str(tmp_path), "sampler", "best",
+                              torch_kind=None)
