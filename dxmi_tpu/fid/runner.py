@@ -126,6 +126,35 @@ def compute_fid_from_sampler(sampler, sampler_params, key, fid_state: FIDState,
     return stats_lib.frechet_distance(m1, s1, fid_state.m2, fid_state.s2)
 
 
+def build_cifar_train_stats(weights_path: str, data_dir: str = "datasets",
+                            out_path: str =
+                            "datasets/cifar10_train_fid_stats.npz",
+                            batch: int = 100) -> Optional[str]:
+    """Compute + cache the CIFAR-10 train-set FID statistics when the
+    cache file is absent (the reference computes fid_stats.pt on the
+    first FID call, train_cifar10.py:360-364). Returns the cache path,
+    or None when the raw CIFAR batches are not on disk."""
+    from dxmi_tpu.data.cifar10 import CIFAR10
+    from dxmi_tpu.fid.inception import (InceptionV3FID,
+                                        load_fid_inception_params)
+
+    try:
+        ds = CIFAR10(data_dir, train=True)
+    except (FileNotFoundError, OSError):
+        return None
+    model = InceptionV3FID()
+    params = load_fid_inception_params(weights_path)
+    extract = jax.jit(lambda x: model.apply({"params": params}, x))
+    acts = []
+    for i in range(0, len(ds), batch):
+        x = ds.images[i:i + batch].astype(np.float32) / 255.0
+        acts.append(np.asarray(extract(x)))
+    mu, sigma = stats_lib.activation_statistics(np.concatenate(acts))
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    np.savez(out_path, mu=mu, sigma=sigma, m2=mu, s2=sigma)
+    return out_path
+
+
 def maybe_compute_fid(cfg: Dict[str, Any], sampler, sampler_params, key,
                       fid_state: Optional[FIDState]
                       ) -> Tuple[Optional[float], Optional[FIDState]]:
@@ -133,6 +162,11 @@ def maybe_compute_fid(cfg: Dict[str, Any], sampler, sampler_params, key,
     if fid_state is None:
         w = _find(DEFAULT_WEIGHTS)
         s = _find(DEFAULT_STATS)
+        if w is not None and s is None \
+                and cfg.get("data", {}).get("name") == "cifar10":
+            # first-run stats bootstrap from the raw CIFAR batches
+            s = build_cifar_train_stats(
+                w, data_dir=cfg["data"].get("data_dir", "datasets"))
         if w is None or s is None:
             return None, None
         fid_state = build_fid_state(w, s)

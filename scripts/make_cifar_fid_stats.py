@@ -21,32 +21,18 @@ def main():
     p.add_argument("--batch", type=int, default=100)
     args = p.parse_args()
 
-    import jax
-    import numpy as np
+    import jax  # noqa: F401  (backend init before the runner import)
 
-    from dxmi_tpu.data.cifar10 import CIFAR10
     from dxmi_tpu.fid import runner as fid_runner
-    from dxmi_tpu.fid import stats as S
-    from dxmi_tpu.fid.inception import InceptionV3FID, load_fid_inception_params
 
     weights = args.weights or fid_runner._find(fid_runner.DEFAULT_WEIGHTS)
     if weights is None:
         raise SystemExit("FID Inception weights not found")
-
-    model = InceptionV3FID()
-    params = load_fid_inception_params(weights)
-    extract = jax.jit(lambda x: model.apply({"params": params}, x))
-
-    ds = CIFAR10(args.data_dir, train=True)
-    acts = []
-    for i in range(0, len(ds), args.batch):
-        x = ds.images[i:i + args.batch].astype(np.float32) / 255.0
-        acts.append(np.asarray(extract(x)))
-        if (i // args.batch) % 50 == 0:
-            print(f"{i}/{len(ds)}")
-    mu, sigma = S.activation_statistics(np.concatenate(acts))
-    np.savez(args.out, mu=mu, sigma=sigma, m2=mu, s2=sigma)
-    print(f"saved stats to {args.out}")
+    out = fid_runner.build_cifar_train_stats(
+        weights, data_dir=args.data_dir, out_path=args.out, batch=args.batch)
+    if out is None:
+        raise SystemExit(f"CIFAR batches not found under {args.data_dir}")
+    print(f"saved stats to {out}")
 
 
 if __name__ == "__main__":

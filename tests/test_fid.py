@@ -122,3 +122,39 @@ def test_statistics_ddof():
     mu, sig = S.activation_statistics(acts)
     np.testing.assert_allclose(mu, acts.mean(0))
     np.testing.assert_allclose(sig, np.cov(acts, rowvar=False))
+
+
+def test_build_cifar_train_stats_bootstrap(tmp_path, monkeypatch):
+    """First-run dataset-stats bootstrap (reference computes fid_stats.pt
+    on the first FID call, train_cifar10.py:360-364): raw CIFAR batches ->
+    cached mu/sigma npz loadable as dataset stats."""
+    import pickle
+
+    import jax
+
+    from dxmi_tpu.fid import inception as I
+    from dxmi_tpu.fid import runner as R
+
+    # tiny fake CIFAR batches (reader wants 5 train pickles)
+    base = tmp_path / "cifar-10-batches-py"
+    base.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(1, 6):
+        d = {b"data": rng.randint(0, 256, (4, 3072), dtype=np.uint8),
+             b"labels": list(rng.randint(0, 10, 4))}
+        with open(base / f"data_batch_{i}", "wb") as f:
+            pickle.dump(d, f)
+
+    monkeypatch.setattr(
+        I, "load_fid_inception_params",
+        lambda path: I.random_fid_inception_params(jax.random.key(0)))
+    out = R.build_cifar_train_stats("unused.npz", data_dir=str(tmp_path),
+                                    out_path=str(tmp_path / "stats.npz"),
+                                    batch=8)
+    assert out is not None
+    m2, s2 = R.load_dataset_stats(out)
+    assert m2.shape == (2048,) and s2.shape == (2048, 2048)
+
+    # absent dataset -> graceful None
+    assert R.build_cifar_train_stats("unused.npz",
+                                     data_dir=str(tmp_path / "nope")) is None
