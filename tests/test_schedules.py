@@ -177,3 +177,18 @@ def test_karras_vs_torch_float32():
         ref_s = torch.cat([ref_s, ref_s.new_zeros([1])]).numpy()
         ours = S.karras_sigmas(n, 0.002, 80.0, rho=rho)
         np.testing.assert_allclose(ours, ref_s, rtol=1e-5, atol=1e-7)
+
+
+def test_trig_large_argument_accuracy():
+    """ops/trig Cody-Waite reduction: float32 sin/cos stay ~1e-6-accurate
+    vs float64 at DDPM/EDM timestep-embedding argument magnitudes
+    (t up to ~1000, |rescaled_t| up to ~1550)."""
+    import jax.numpy as jnp
+
+    from dxmi_tpu.ops import trig
+
+    x = np.linspace(-1600.0, 1600.0, 20011).astype(np.float32)
+    ref_sin = np.sin(x.astype(np.float64))
+    ref_cos = np.cos(x.astype(np.float64))
+    assert np.abs(np.asarray(trig.sin(jnp.asarray(x))) - ref_sin).max() < 5e-6
+    assert np.abs(np.asarray(trig.cos(jnp.asarray(x))) - ref_cos).max() < 5e-6
