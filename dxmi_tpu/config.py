@@ -53,7 +53,16 @@ def parse_arg_type(val: str) -> Any:
 
 
 def parse_unknown_args(l_args: List[str]) -> Dict[str, Any]:
-    """Parse space-separated ``--key value`` pairs into a flat dict."""
+    """Parse space-separated ``--key value`` pairs into a flat dict.
+
+    A trailing unpaired token is dropped like the reference does
+    (cmd_utils.py:38 ``len(l_args)//2``) but with a warning — it is
+    usually a typo'd flag or a missing value."""
+    if len(l_args) % 2 == 1:
+        import sys
+
+        print(f"WARNING: ignoring trailing override token {l_args[-1]!r} "
+              "(overrides are --key value pairs)", file=sys.stderr)
     n_args = len(l_args) // 2
     d_args: Dict[str, Any] = {}
     for i in range(n_args):
