@@ -123,6 +123,9 @@ def main():
                         "on the CIFAR net, ~4.5%% sample drift — PERF.md)")
     p.add_argument("--cleanup", action="store_true",
                    help="delete generated PNGs after FID")
+    p.add_argument("--save_npz", default=None,
+                   help="also stream samples into an evaluator npz "
+                        "(skips the make_npz.py step)")
     p.add_argument("-save", "--save_images", default=None,
                    help="reference flag (generate_cifar10.py:75-80): "
                         "False deletes the PNGs after FID (== --cleanup)")
@@ -217,14 +220,28 @@ def main():
     n_local = args.n_generate // jax.process_count()
     i_img = 0
     n_batches = n_local // args.batchsize
+    npz_writer = None
+    if args.save_npz and jax.process_index() == 0:
+        from dxmi_tpu.utils.npz_stream import NpzStreamWriter
+
+        h, w_, c = sampler.sample_shape
+        npz_writer = NpzStreamWriter(args.save_npz,
+                                     n_total=n_batches * args.batchsize,
+                                     shape_tail=(h, w_, c))
     for i in range(n_batches):
         key, k = jax.random.split(key)
         x = np.asarray(sample_fn(k))
-        writer.put_batch(i_img, to_uint8(x))
+        xu8 = to_uint8(x)
+        writer.put_batch(i_img, xu8)
+        if npz_writer is not None:
+            npz_writer.write(xu8)
         i_img += len(x)
         if (i + 1) % 10 == 0:
             print0(f"{i_img}/{n_local} generated")
     writer.close()
+    if npz_writer is not None:
+        npz_writer.close()
+        print0(f"saved npz to {args.save_npz}")
     print0(f"wrote {i_img} PNGs to {save_dir}")
 
     # all hosts must finish writing before rank 0 reads the shared PNG dir
