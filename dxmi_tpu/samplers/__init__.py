@@ -54,25 +54,28 @@ def sample_chunked(sampler, params, key, n_sample: int, n_chunks: int, **kw):
     phase chunks it. Distributionally identical to one big batch (fresh
     fold of ``key`` per chunk); NOT bitwise-identical.
     """
+    # class labels: sample() calls them i_class (EDMSampler contract)
+    y = kw.pop("y", None)
     if n_chunks <= 1:
+        if y is not None:
+            kw["i_class"] = y
         return sampler.sample(params, key, n_sample, **kw)
     if n_sample % n_chunks:
         raise ValueError(f"n_sample={n_sample} not divisible by "
                          f"n_chunks={n_chunks}")
     b = n_sample // n_chunks
     keys = jax.random.split(key, n_chunks)
-    y = kw.pop("y", None)
 
     if y is None:
         def body(carry, k):
             return carry, sampler.sample(params, k, b, **kw)
         _, ds = jax.lax.scan(body, 0, keys)
     else:
-        ys = jnp.reshape(y, (n_chunks, b) + y.shape[1:])
+        ys = jnp.reshape(jnp.asarray(y), (n_chunks, b) + jnp.shape(y)[1:])
 
         def body(carry, xs):
             k, yy = xs
-            return carry, sampler.sample(params, k, b, y=yy, **kw)
+            return carry, sampler.sample(params, k, b, i_class=yy, **kw)
         _, ds = jax.lax.scan(body, 0, (keys, ys))
 
     def merge(name, a):

@@ -393,7 +393,6 @@ def karras_sample(diffusion: KarrasDenoiser, net, net_params, key, shape_nhwc,
                     * (t_min ** (1 / rho_) - t_max ** (1 / rho_))) ** rho_
 
         ts_grid = jnp.asarray([t_of(i) for i in range(steps)])
-        x0 = x / jnp.sqrt(1.0 + sigma_max ** 2)
 
         def step(xc, inputs):
             i, k = inputs

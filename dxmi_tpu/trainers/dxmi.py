@@ -409,29 +409,42 @@ class DxMITrainer:
         # ---- TD sweep: one optimizer step per timestep, backward ----
         # flip so scan index 0 is timestep T-1 (trainer.py:276-327)
         t_vals = jnp.arange(T, dtype=jnp.int32)
-        xs = {
+        base_xs = {
             "state": traj.state,
             "next_state": traj.next_state,
             "sigma": traj.sigma,
             "t": t_vals,
-            "key": jax.random.split(key, T),
         }
-        if self.value_update_order == "backward":
-            order = jnp.arange(T - 1, -1, -1)
-        elif self.value_update_order == "random":
-            key, okey = jax.random.split(key)
-            order = jax.random.permutation(okey, T)
-        else:
-            raise ValueError(self.value_update_order)
-        xs = jax.tree.map(lambda a: jnp.take(a, order, axis=0), xs)
+        key, k_steps, k_order = jax.random.split(key, 3)
+
+        def sweep_xs(rep: int):
+            # fresh per-step keys AND (random mode) a fresh order per
+            # repeat — the reference consumes fresh torch RNG and redraws
+            # update_order inside its repeat loop (trainer.py:594-600)
+            xs = dict(base_xs)
+            xs["key"] = jax.random.split(jax.random.fold_in(k_steps, rep), T)
+            if self.value_update_order == "backward":
+                order = jnp.arange(T - 1, -1, -1)
+            elif self.value_update_order == "random":
+                order = jax.random.permutation(
+                    jax.random.fold_in(k_order, rep), T)
+            else:
+                raise ValueError(self.value_update_order)
+            return jax.tree.map(lambda a: jnp.take(a, order, axis=0), xs)
 
         def td_step(carry, x):
             v_params, opt_state_v, v_stats = carry
             t = x["t"]
             tvec = jnp.full((x["state"].shape[0],), t, dtype=jnp.int32)
+            ks, kd, ka1, ka2 = jax.random.split(x["key"], 4)
             if self.value_resample:
+                # resample with dropout active: the reference leaves the
+                # sampler in train mode through the TD sweep
+                # (trainer.py:352 sampler.train(); never eval'd before
+                # update_f_v), so its resampled next_state sees dropout
                 d_step = self.sampler.sample_step(
-                    state.sampler_params, x["state"], tvec, x["key"])
+                    state.sampler_params, x["state"], tvec, ks,
+                    train=True, dropout_rng=kd)
                 next_state = jax.lax.stop_gradient(d_step["sample"])
                 sigma = jax.lax.stop_gradient(d_step["sigma"])
             else:
@@ -439,17 +452,28 @@ class DxMITrainer:
                 sigma = x["sigma"]
             cost = self._running_cost(betas_for_q, x["state"], next_state, tvec)
             entropy = self._entropy_of(sigma)
+            # Cond trainer augments BOTH v inputs inside the TD loop
+            # (trainer.py:630-633), after the running cost is computed
+            v_state_in, v_next_in = x["state"], next_state
+            if self.aug is not None:
+                v_state_in = self.aug(v_state_in, ka1)
+                v_next_in = self.aug(v_next_in, ka2)
 
             # NOTE: conditioning on the DATA batch's labels, replicating
             # the reference (trainer.py:635,661 passes the img batch's y
             # for sampled states; harmless for class-free value nets)
-            v_next = self._v_apply(v_params, next_state, tvec + 1, y,
+            v_next = self._v_apply(v_params, v_next_in, tvec + 1, y,
                                    stats=v_stats)
             if self.energy is not None:
-                # terminal target uses the separate energy; the reference's
-                # "+ tau2*cost" at trainer.py:297 is dead code (overwritten
-                # at :300) — replicated
-                f_next = self._f_apply(f_params, next_state, stats=f_stats)
+                # terminal target uses the separate energy, applied at the
+                # TERMINAL timestep t==T-1 (f sees final images). This is
+                # the stated intent of the reference ("use energy for the
+                # last step") — its own condition `i == n_steps-1` lands on
+                # update_t==0, the NOISIEST rows (trainer.py:277,294), a
+                # documented reference bug we fix rather than replicate.
+                # Its "+ tau2*cost" at :297 is dead code (overwritten at
+                # :300) — that quirk IS replicated.
+                f_next = self._f_apply(f_params, v_next_in, stats=f_stats)
                 term = (tvec == T - 1).astype(jnp.float32)
                 v_next = v_next * (1 - term) + f_next * term
             target = v_next + self._time_cost_terms(tvec)
@@ -463,9 +487,9 @@ class DxMITrainer:
 
             def v_loss_fn(p):
                 if v_stats is None:
-                    v = self._v_apply(p, x["state"], tvec, y)
+                    v = self._v_apply(p, v_state_in, tvec, y)
                     return ((v - target) ** 2).mean(), (v.mean(), None)
-                v, new_stats = self._v_apply(p, x["state"], tvec, y,
+                v, new_stats = self._v_apply(p, v_state_in, tvec, y,
                                              stats=v_stats, update=True)
                 return ((v - target) ** 2).mean(), (v.mean(), new_stats)
 
@@ -483,8 +507,8 @@ class DxMITrainer:
                 "v_loss": v_loss, "running_cost": cost.mean(), "value": v_mean, "t": t}
 
         carry = (v_params, opt_state_v, v_stats)
-        for _ in range(self.repeat_value_update):
-            carry, td_out = jax.lax.scan(td_step, carry, xs)
+        for rep in range(self.repeat_value_update):
+            carry, td_out = jax.lax.scan(td_step, carry, sweep_xs(rep))
         v_params, opt_state_v, v_stats = carry
 
         metrics = {

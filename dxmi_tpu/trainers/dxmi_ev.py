@@ -51,6 +51,19 @@ class DxMITrainerEV(DxMITrainer):
                          use_sampler_beta=use_sampler_beta)
         self.energy = None
 
+    def init_betas_for_q(self):
+        if self.use_sampler_beta:
+            # reference EV: betas_for_q = exp(net.log_betas) at set_models
+            # time — the INITIAL per-step sigma schedule
+            # (trainer.py:909-911) — NOT the q-process eta the base
+            # trainer uses (trainer.py:144-161)
+            sch = getattr(self.sampler, "schedule", None)
+            if sch is not None and hasattr(sch, "init_sigma"):
+                return jnp.asarray(sch.init_sigma, jnp.float32)
+            raise ValueError("use_sampler_beta EV trainer requires a "
+                             "sampler schedule with init_sigma")
+        return super().init_betas_for_q()
+
     def set_models(self, sampler, value, energy, lr, v_lr, f_lr,
                    beta_lr=None, donate=False):
         super().set_models(sampler, value, lr, v_lr, beta_lr, donate=donate)

@@ -158,6 +158,32 @@ def test_cond_trainer_tick():
     assert np.isfinite(float(m2["sampler/sampler_loss_"]))
 
 
+def test_cond_fused_train_step_with_labels():
+    """train_step(y=labels) must thread class labels through the chunked
+    trajectory sampling (regression: sample() takes i_class, not y)."""
+    from dxmi_tpu.models.igebm import IGEBMEncoder
+    from dxmi_tpu.models.value import TimeIndependentValue
+    from dxmi_tpu.trainers.dxmi_cond import DxMITrainerCond
+
+    T, B, RES = 4, 4, 8
+    s = EDMSampler(ConstNet(), None, n_timesteps=T, sample_shape=(3, RES, RES),
+                   class_cond=True, num_classes=10, trainable_beta="fix_last")
+    value = TimeIndependentValue(net=IGEBMEncoder(nh=8, keepdim=False))
+    tr = DxMITrainerCond(batchsize=B, tau1=0.1, tau2=0.01, gamma=1.0,
+                         n_timesteps=T, use_sampler_beta=True, adavelreg=0.99,
+                         time_cost=0.0, time_cost_sig=1.0)
+    tr.set_models(s, value, lr=1e-5, v_lr=1e-4, beta_lr=1e-5)
+    sp = s.init_params(jax.random.key(0))
+    vp = value.init(jax.random.key(1), jnp.zeros((1, RES, RES, 3)),
+                    jnp.zeros((1,), jnp.int32))["params"]
+    state = tr.init_state(sp, vp)
+    img = jax.random.normal(jax.random.key(2), (B, RES, RES, 3))
+    y = jnp.arange(B, dtype=jnp.int32) % 10
+    state, m = tr.train_step(state, img, jax.random.key(3), y=y)
+    assert np.isfinite(float(m["ebm/d_loss_"]))
+    assert np.isfinite(float(m["sampler/sampler_loss_"]))
+
+
 def test_cond_sample_guidance():
     """Cond value-guided sampling (trainer.py:811-860): sigma_max-scaled
     prior, class labels threaded through sample_step, guidance masked by
