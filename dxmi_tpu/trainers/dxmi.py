@@ -201,11 +201,19 @@ class DxMITrainer:
             return optax.radam(lr)
         raise ValueError(self.sampler_optimizer)
 
-    def init_betas_for_q(self) -> jnp.ndarray:
+    def init_betas_for_q(self, sampler_params=None) -> jnp.ndarray:
         if self.use_sampler_beta:
             if hasattr(self.sampler, "user_defined_eta"):
                 return jnp.asarray(self.sampler.user_defined_eta, dtype=jnp.float32)
-            raise ValueError("use_sampler_beta requires a sampler schedule")
+            if sampler_params is not None and "log_betas" in sampler_params:
+                # reference fallback: exp of the sampler's CURRENT
+                # log_betas at set_models time (trainer.py:151-153) —
+                # matters when the sampler was loaded from a checkpoint
+                # whose log_betas were trained away from the init schedule
+                return jnp.exp(jnp.asarray(sampler_params["log_betas"],
+                                           jnp.float32))
+            raise ValueError("use_sampler_beta requires a sampler schedule "
+                             "or params with log_betas")
         return jnp.asarray(make_beta_schedule(
             schedule=self.q_beta_schedule, n_timesteps=self.n_timesteps,
             start=self.q_beta_start, end=self.q_beta_end))
@@ -219,7 +227,7 @@ class DxMITrainer:
             v_params=v_params,
             opt_state_sampler=self.opt_sampler.init(sampler_params),
             opt_state_v=self.opt_v.init(v_params),
-            betas_for_q=self.init_betas_for_q(),
+            betas_for_q=self.init_betas_for_q(sampler_params),
             f_params=f_params,
             opt_state_f=(self.opt_f.init(f_params)
                          if f_params is not None else None),
@@ -415,6 +423,12 @@ class DxMITrainer:
             "sigma": traj.sigma,
             "t": t_vals,
         }
+        if traj.y is not None:
+            # trajectory labels ride the sweep so value_resample can
+            # condition the re-run policy step (the reference omits y at
+            # trainer.py:612 and would assert inside a class-conditional
+            # UNet — an unreachable-in-its-configs bug we fix)
+            base_xs["traj_y"] = traj.y
         key, k_steps, k_order = jax.random.split(key, 3)
 
         def sweep_xs(rep: int):
@@ -444,7 +458,7 @@ class DxMITrainer:
                 # update_f_v), so its resampled next_state sees dropout
                 d_step = self.sampler.sample_step(
                     state.sampler_params, x["state"], tvec, ks,
-                    train=True, dropout_rng=kd)
+                    y=x.get("traj_y"), train=True, dropout_rng=kd)
                 next_state = jax.lax.stop_gradient(d_step["sample"])
                 sigma = jax.lax.stop_gradient(d_step["sigma"])
             else:

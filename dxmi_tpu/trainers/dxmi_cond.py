@@ -33,7 +33,7 @@ class DxMITrainerCond(DxMITrainer):
         self.nan_guard = True
         self.sampler_optimizer = "radam"
 
-    def init_betas_for_q(self):
+    def init_betas_for_q(self, sampler_params=None):
         import jax.numpy as jnp
 
         if self.use_sampler_beta:
@@ -43,7 +43,7 @@ class DxMITrainerCond(DxMITrainer):
                 # EDM policy: betas_for_q = sigmas^2 (trainer.py:516-517)
                 return jnp.asarray(self.sampler.betas_for_q_default)
             raise ValueError("use_sampler_beta requires a sampler schedule")
-        return super().init_betas_for_q()
+        return super().init_betas_for_q(sampler_params)
 
     def update_sampler(self, state: DxMIState, buffer: TrajectoryBuffer,
                        key: jax.Array, n_generator: Optional[int] = None

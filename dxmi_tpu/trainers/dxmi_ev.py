@@ -51,18 +51,23 @@ class DxMITrainerEV(DxMITrainer):
                          use_sampler_beta=use_sampler_beta)
         self.energy = None
 
-    def init_betas_for_q(self):
+    def init_betas_for_q(self, sampler_params=None):
         if self.use_sampler_beta:
             # reference EV: betas_for_q = exp(net.log_betas) at set_models
-            # time — the INITIAL per-step sigma schedule
-            # (trainer.py:909-911) — NOT the q-process eta the base
-            # trainer uses (trainer.py:144-161)
+            # time (trainer.py:909-911) — the sampler's CURRENT per-step
+            # sigmas, NOT the q-process eta the base trainer uses
+            # (trainer.py:144-161). Read the live params so checkpoints
+            # whose log_betas were trained away from init are honored.
+            if sampler_params is not None and "log_betas" in sampler_params:
+                return jnp.exp(jnp.asarray(sampler_params["log_betas"],
+                                           jnp.float32))
             sch = getattr(self.sampler, "schedule", None)
             if sch is not None and hasattr(sch, "init_sigma"):
                 return jnp.asarray(sch.init_sigma, jnp.float32)
-            raise ValueError("use_sampler_beta EV trainer requires a "
-                             "sampler schedule with init_sigma")
-        return super().init_betas_for_q()
+            raise ValueError("use_sampler_beta EV trainer requires sampler "
+                             "params with log_betas or a schedule with "
+                             "init_sigma")
+        return super().init_betas_for_q(sampler_params)
 
     def set_models(self, sampler, value, energy, lr, v_lr, f_lr,
                    beta_lr=None, donate=False):
@@ -88,7 +93,7 @@ class DxMITrainerEV(DxMITrainer):
             opt_state_sampler=self.opt_sampler.init(sampler_params),
             opt_state_v=self.opt_v.init(v_params),
             opt_state_f=self.opt_f.init(f_params),
-            betas_for_q=self.init_betas_for_q(),
+            betas_for_q=self.init_betas_for_q(sampler_params),
             v_stats=v_stats,
             f_stats=f_stats,
         )

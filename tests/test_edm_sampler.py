@@ -184,6 +184,48 @@ def test_cond_fused_train_step_with_labels():
     assert np.isfinite(float(m["sampler/sampler_loss_"]))
 
 
+def test_cond_value_resample_threads_labels():
+    """value_resample=True with a class-conditional sampler must pass the
+    trajectory's labels to the re-run policy step (the reference omits y
+    at trainer.py:612 and would assert inside a conditional UNet)."""
+    from dxmi_tpu.models.igebm import IGEBMEncoder
+    from dxmi_tpu.models.value import TimeIndependentValue
+    from dxmi_tpu.trainers import buffer as buflib
+    from dxmi_tpu.trainers.dxmi_cond import DxMITrainerCond
+
+    class YRequiredNet(nn.Module):
+        """Stub that hard-requires class labels like UNetADM
+        (unet_adm.py class_cond assert)."""
+
+        @nn.compact
+        def __call__(self, x, t, y=None, *, deterministic=True):
+            assert y is not None, "class-conditional model needs y"
+            c = self.param("c", lambda k, s: jnp.full(s, 0.1), (1,))
+            emb = self.param("emb", nn.initializers.zeros, (10,))
+            return jnp.ones_like(x) * c + jnp.take(emb, y).reshape(-1, 1, 1, 1)
+
+    T, B, RES = 4, 4, 8
+    s = EDMSampler(YRequiredNet(), None, n_timesteps=T,
+                   sample_shape=(3, RES, RES), class_cond=True,
+                   num_classes=10, trainable_beta="fix_last")
+    value = TimeIndependentValue(net=IGEBMEncoder(nh=8, keepdim=False))
+    tr = DxMITrainerCond(batchsize=B, tau1=0.1, tau2=0.01, gamma=1.0,
+                         n_timesteps=T, use_sampler_beta=True, adavelreg=0.99,
+                         time_cost=0.0, time_cost_sig=1.0, value_resample=True)
+    tr.set_models(s, value, lr=1e-5, v_lr=1e-4, beta_lr=1e-5)
+    sp = s.init_params(jax.random.key(0))
+    vp = value.init(jax.random.key(1), jnp.zeros((1, RES, RES, 3)),
+                    jnp.zeros((1,), jnp.int32))["params"]
+    state = tr.init_state(sp, vp)
+    d = s.sample(state.sampler_params, jax.random.key(2), B)
+    traj = buflib.from_d_sample(d)
+    assert traj.y is not None
+    img = jax.random.normal(jax.random.key(3), (B, RES, RES, 3))
+    y = jnp.arange(B, dtype=jnp.int32) % 10
+    state, m = tr.update_f_v(state, img, traj, jax.random.key(4), y=y)
+    assert np.isfinite(float(m["ebm/d_loss_"]))
+
+
 def test_cond_sample_guidance():
     """Cond value-guided sampling (trainer.py:811-860): sigma_max-scaled
     prior, class labels threaded through sample_step, guidance masked by

@@ -51,6 +51,30 @@ def test_ev_trainer_tick():
     assert m2["per_step/sigma"].shape == (T,)
 
 
+def test_ev_betas_from_live_log_betas():
+    """use_sampler_beta EV betas_for_q tracks the CURRENT sampler params'
+    exp(log_betas) (trainer.py:909-911) — not the init schedule — so
+    checkpoints whose log_betas were trained away are honored."""
+    T, B, RES = 4, 4, 8
+    sampler = VARSampler(TinyEps(), n_timesteps=T, sample_shape=(3, RES, RES),
+                         trainable_beta=True)
+    value = TimeIndependentValue(net=IGEBMEncoder(nh=8, keepdim=False))
+    energy = IGEBMEncoder(nh=8, keepdim=False)
+    tr = DxMITrainerEV(batchsize=B, tau1=0.1, tau2=0.01, n_timesteps=T,
+                       use_sampler_beta=True)
+    tr.set_models(sampler, value, energy, lr=1e-4, v_lr=1e-4, f_lr=1e-4,
+                  beta_lr=1e-4)
+
+    sp = sampler.init_params(jax.random.key(0))
+    sp = dict(sp, log_betas=sp["log_betas"] - 0.7)  # "trained" betas
+    x0 = jnp.zeros((1, RES, RES, 3))
+    vp = value.init(jax.random.key(1), x0, jnp.zeros((1,), jnp.int32))["params"]
+    fp = energy.init(jax.random.key(2), x0)["params"]
+    state = tr.init_state_ev(sp, vp, fp)
+    np.testing.assert_allclose(np.asarray(state.betas_for_q),
+                               np.exp(np.asarray(sp["log_betas"])), rtol=1e-6)
+
+
 def test_energy_anomaly_scores():
     from dxmi_tpu.utils.metrics import anomaly_scores_from_energy
 

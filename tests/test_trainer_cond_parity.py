@@ -83,7 +83,6 @@ def run_reference(reference_path):
     import types
 
     import torch
-    import torch.nn as nn
 
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
@@ -101,52 +100,7 @@ def run_reference(reference_path):
     finally:
         sys.path.pop(0)
 
-    from tests.test_trainer_parity import run_reference as _  # noqa: F401
-
-    class Net(nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.w = nn.Parameter(torch.tensor(W0))
-            self.log_betas = nn.Parameter(torch.tensor(LOG_BETAS0))
-
-        def forward(self, x):  # for MixedPrecisionTrainer's model arg
-            return x
-
-    class Sampler(nn.Module):
-        n_timesteps = T
-        trainable_beta = True
-        class_cond = True
-        user_defined_eta = ETA
-
-        def __init__(self):
-            super().__init__()
-            self.net = Net()
-
-        def sample_step(self, x, t, y=None):
-            from torch.distributions import Normal
-
-            t = t.long()
-            mean = self.net.w * x
-            sigma = torch.exp(self.net.log_betas)[t].view(-1, 1, 1, 1)
-            sample = mean
-            dist = Normal(mean, sigma)
-            logp = dist.log_prob(sample.detach()).mean(-1).mean(-1).mean(-1)
-            return {"sample": sample, "mean": mean, "sigma": sigma,
-                    "logp": logp, "logp_terminal": torch.zeros(len(x)),
-                    "entropy": torch.log(sigma), "control": mean * 0}
-
-        def train(self, mode=True):
-            return self
-
-    class Value(nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.w = nn.Parameter(torch.full((D,), V_W0))
-            self.b = nn.Parameter(torch.tensor(0.1))
-
-        def forward(self, x, t=None, y=None):
-            return (x.reshape(x.shape[0], -1) @ self.w + self.b)[:, None]
-
+    Sampler, Value = _torch_stubs()
     sampler = Sampler()
     v = Value()
     opt = torch.optim.RAdam(sampler.parameters(), lr=0.0)
@@ -297,8 +251,8 @@ def _run_reference_repeat_resample(reference_path):
 
 
 def _torch_stubs():
-    """The Sampler/Value stub classes from run_reference, extracted so the
-    repeat/resample variant can reuse them."""
+    """Deterministic torch stub classes shared by both Cond parity tests
+    (mean = w*x policy with trainable log_betas; linear value net)."""
     import torch
     import torch.nn as nn
 
