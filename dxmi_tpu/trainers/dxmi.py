@@ -417,11 +417,14 @@ class DxMITrainer:
         # ---- TD sweep: one optimizer step per timestep, backward ----
         # flip so scan index 0 is timestep T-1 (trainer.py:276-327)
         t_vals = jnp.arange(T, dtype=jnp.int32)
+        B = traj.state.shape[1]
         base_xs = {
             "state": traj.state,
             "next_state": traj.next_state,
             "sigma": traj.sigma,
-            "t": t_vals,
+            # per-ROW timesteps: constant per sweep step for
+            # backward/random order, mixed for shuffle
+            "tvec": jnp.broadcast_to(t_vals[:, None], (T, B)),
         }
         if traj.y is not None:
             # trajectory labels ride the sweep so value_resample can
@@ -434,22 +437,42 @@ class DxMITrainer:
         def sweep_xs(rep: int):
             # fresh per-step keys AND (random mode) a fresh order per
             # repeat — the reference consumes fresh torch RNG and redraws
-            # update_order inside its repeat loop (trainer.py:594-600)
+            # update_order inside its repeat loop (trainer.py:594-600).
+            # The shuffle permutation is drawn ONCE per update and shared
+            # across repeats (trainer.py:589-591).
             xs = dict(base_xs)
-            xs["key"] = jax.random.split(jax.random.fold_in(k_steps, rep), T)
-            if self.value_update_order == "backward":
+            if self.value_update_order == "shuffle":
+                # reference shuffle: minibatches of a global randperm over
+                # the newest T*B rows — each sweep step sees B rows of
+                # MIXED timesteps (trainer.py:602-608)
+                perm = jax.random.permutation(k_order, T * B)
+
+                def shuf(a):
+                    flat = a.reshape((T * B,) + a.shape[2:])
+                    return jnp.take(flat, perm, axis=0).reshape(a.shape)
+
+                xs = jax.tree.map(shuf, xs)
+                # the reference still labels metrics with the backward
+                # update_t even though rows are mixed (trainer.py:598-600)
+                label = jnp.arange(T - 1, -1, -1)
+            elif self.value_update_order == "backward":
                 order = jnp.arange(T - 1, -1, -1)
+                xs = jax.tree.map(lambda a: jnp.take(a, order, axis=0), xs)
+                label = order
             elif self.value_update_order == "random":
                 order = jax.random.permutation(
                     jax.random.fold_in(k_order, rep), T)
+                xs = jax.tree.map(lambda a: jnp.take(a, order, axis=0), xs)
+                label = order
             else:
                 raise ValueError(self.value_update_order)
-            return jax.tree.map(lambda a: jnp.take(a, order, axis=0), xs)
+            xs["key"] = jax.random.split(jax.random.fold_in(k_steps, rep), T)
+            xs["label"] = label
+            return xs
 
         def td_step(carry, x):
             v_params, opt_state_v, v_stats = carry
-            t = x["t"]
-            tvec = jnp.full((x["state"].shape[0],), t, dtype=jnp.int32)
+            tvec = x["tvec"]
             ks, kd, ka1, ka2 = jax.random.split(x["key"], 4)
             if self.value_resample:
                 # resample with dropout active: the reference leaves the
@@ -518,7 +541,8 @@ class DxMITrainer:
             updates, opt_state_v = self.opt_v.update(g, opt_state_v, v_params)
             v_params = optax.apply_updates(v_params, updates)
             return (v_params, opt_state_v, v_stats), {
-                "v_loss": v_loss, "running_cost": cost.mean(), "value": v_mean, "t": t}
+                "v_loss": v_loss, "running_cost": cost.mean(),
+                "value": v_mean, "t": x["label"]}
 
         carry = (v_params, opt_state_v, v_stats)
         for rep in range(self.repeat_value_update):

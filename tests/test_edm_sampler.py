@@ -226,6 +226,38 @@ def test_cond_value_resample_threads_labels():
     assert np.isfinite(float(m["ebm/d_loss_"]))
 
 
+def test_cond_shuffle_update_order():
+    """value_update_order='shuffle' (trainer.py:602-608): sweep steps
+    consume minibatches of a global row permutation (mixed timesteps)."""
+    from dxmi_tpu.models.igebm import IGEBMEncoder
+    from dxmi_tpu.models.value import TimeIndependentValue
+    from dxmi_tpu.trainers import buffer as buflib
+    from dxmi_tpu.trainers.dxmi_cond import DxMITrainerCond
+
+    T, B, RES = 4, 4, 8
+    s = EDMSampler(ConstNet(), None, n_timesteps=T, sample_shape=(3, RES, RES),
+                   class_cond=True, num_classes=10, trainable_beta="fix_last")
+    value = TimeIndependentValue(net=IGEBMEncoder(nh=8, keepdim=False))
+    tr = DxMITrainerCond(batchsize=B, tau1=0.1, tau2=0.01, gamma=1.0,
+                         n_timesteps=T, use_sampler_beta=True, adavelreg=0.99,
+                         time_cost=0.0, time_cost_sig=1.0,
+                         value_update_order="shuffle", repeat_value_update=2)
+    tr.set_models(s, value, lr=1e-5, v_lr=1e-4, beta_lr=1e-5)
+    sp = s.init_params(jax.random.key(0))
+    vp = value.init(jax.random.key(1), jnp.zeros((1, RES, RES, 3)),
+                    jnp.zeros((1,), jnp.int32))["params"]
+    state = tr.init_state(sp, vp)
+    d = s.sample(state.sampler_params, jax.random.key(2), B)
+    traj = buflib.from_d_sample(d)
+    img = jax.random.normal(jax.random.key(3), (B, RES, RES, 3))
+    state, m = tr.update_f_v(state, img, traj, jax.random.key(4),
+                             y=jnp.zeros((B,), jnp.int32))
+    assert np.isfinite(float(m["ebm/d_loss_"]))
+    # metric labels keep the reference's backward update_t keying
+    np.testing.assert_array_equal(np.asarray(m["per_step/t"]),
+                                  np.arange(T - 1, -1, -1))
+
+
 def test_cond_sample_guidance():
     """Cond value-guided sampling (trainer.py:811-860): sigma_max-scaled
     prior, class labels threaded through sample_step, guidance masked by
