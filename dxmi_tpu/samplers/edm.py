@@ -32,13 +32,16 @@ class KarrasDenoiser:
 
     def __init__(self, sigma_data: float = 0.5, sigma_max: float = 80.0,
                  sigma_min: float = 0.002, rho: float = 7.0,
-                 weight_schedule: str = "uniform", distillation: bool = False):
+                 weight_schedule: str = "uniform", distillation: bool = False,
+                 loss_norm: str = "l2"):
         self.sigma_data = sigma_data
         self.sigma_max = sigma_max
         self.sigma_min = sigma_min
         self.rho = rho
         self.weight_schedule = weight_schedule
         self.distillation = distillation
+        # consumed by trainers.distill (karras_diffusion.py:44,206,311)
+        self.loss_norm = loss_norm
 
     def scalings(self, sigma):
         if not self.distillation:
