@@ -302,6 +302,11 @@ class UNetSmall(nn.Module):
     # False | True (dynamic ranges) | "static" (calibrated ranges — run
     # VARSampler.calibrate_quant first).
     quant_int8: Any = False
+    # selective int8 exclusions (drift/throughput trade, PERF.md):
+    # keep the attention qkv/proj convs in bf16 / keep the full-res final
+    # decoder level (up_0 blocks) in bf16 while the rest runs int8
+    quant_skip_attn: bool = False
+    quant_skip_last_level: bool = False
     fuse_gn_conv: bool = False
     # attention implementation: see AttnBlock.attn_impl
     attn_impl: str = 'einsum'
@@ -309,6 +314,7 @@ class UNetSmall(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         assert x.shape[1] == x.shape[2] == self.resolution, x.shape
+        attn_quant = False if self.quant_skip_attn else self.quant_int8
         num_resolutions = len(self.ch_mult)
         temb_ch = self.ch * 4
 
@@ -329,7 +335,7 @@ class UNetSmall(nn.Module):
                                 name=f"down_{i_level}_block_{i_block}")(
                     hs[-1], temb, deterministic=deterministic)
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=self.quant_int8, attn_impl=self.attn_impl,
+                    h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=attn_quant, attn_impl=self.attn_impl,
                                   name=f"down_{i_level}_attn_{i_block}")(h)
                 hs.append(h)
             if i_level != num_resolutions - 1:
@@ -341,7 +347,7 @@ class UNetSmall(nn.Module):
         h = hs[-1]
         h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype, quant=self.quant_int8, fuse_gn_conv=self.fuse_gn_conv,
                         name="mid_block_1")(h, temb, deterministic=deterministic)
-        h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=self.quant_int8, attn_impl=self.attn_impl, name="mid_attn_1")(h)
+        h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=attn_quant, attn_impl=self.attn_impl, name="mid_attn_1")(h)
         h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype, quant=self.quant_int8, fuse_gn_conv=self.fuse_gn_conv,
                         name="mid_block_2")(h, temb, deterministic=deterministic)
 
@@ -349,12 +355,14 @@ class UNetSmall(nn.Module):
         for i_level in reversed(range(num_resolutions)):
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks + 1):
-                h = ResnetBlock(block_out, self.dropout, dtype=self.dtype, quant=self.quant_int8, fuse_gn_conv=self.fuse_gn_conv,
+                blk_quant = (False if (self.quant_skip_last_level
+                                       and i_level == 0) else self.quant_int8)
+                h = ResnetBlock(block_out, self.dropout, dtype=self.dtype, quant=blk_quant, fuse_gn_conv=self.fuse_gn_conv,
                                 name=f"up_{i_level}_block_{i_block}")(
                     jnp.concatenate([h, hs.pop()], axis=-1), temb,
                     deterministic=deterministic)
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=self.quant_int8, attn_impl=self.attn_impl,
+                    h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=attn_quant, attn_impl=self.attn_impl,
                                   name=f"up_{i_level}_attn_{i_block}")(h)
             if i_level != 0:
                 h = Upsample(self.resamp_with_conv, dtype=self.dtype, quant=self.quant_int8,

@@ -62,3 +62,28 @@ def test_unet_quant_mode_runs_and_tracks_fp():
     assert b.shape == a.shape
     rel = float(jnp.abs(a - b).mean() / (jnp.abs(a).mean() + 1e-8))
     assert rel < 0.2, rel  # random-weight net; loose sanity bound
+
+
+def test_unet_quant_skip_knobs_reduce_error():
+    """quant_skip_attn / quant_skip_last_level keep those modules bf16:
+    same param tree, and the fp-vs-quant error cannot exceed the all-int8
+    variant's by more than noise (they quantize strictly fewer convs)."""
+    from dxmi_tpu.models.unet_small import UNetSmall
+
+    kw = dict(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+              attn_resolutions=(8, 16), dropout=0.0, in_channels=3,
+              resolution=16)
+    fp = UNetSmall(**kw)
+    x = jax.random.normal(jax.random.key(0), (2, 16, 16, 3))
+    t = jnp.array([10.0, 400.0])
+    params = fp.init(jax.random.key(1), x, t)
+    a = fp.apply(params, x, t)
+
+    def rel(skips):
+        q = UNetSmall(**kw, quant_int8=True, **skips)
+        b = q.apply(params, x, t)  # same param tree
+        return float(jnp.abs(a - b).mean() / (jnp.abs(a).mean() + 1e-8))
+
+    full = rel({})
+    both = rel(dict(quant_skip_attn=True, quant_skip_last_level=True))
+    assert both <= full * 1.05 + 1e-6, (full, both)
