@@ -162,10 +162,14 @@ class NCSNpp(nn.Module):
 
     config: NCSNppArgs = dataclasses.field(default_factory=NCSNppArgs)
     quant_int8: Any = False
+    # keep the attention qkv/proj 1x1 convs in bf16 while the res blocks
+    # run int8 (drift/throughput trade; same knob as UNetSmall)
+    quant_skip_attn: bool = False
 
     @nn.compact
     def __call__(self, x, t, z, *, deterministic: bool = True):
         cfg = self.config
+        attn_quant = False if self.quant_skip_attn else self.quant_int8
         nf = cfg.nf
         temb_ch = nf * 4
 
@@ -190,7 +194,7 @@ class NCSNpp(nn.Module):
                                    name=f"down_{i_level}_block_{i_block}")(
                     h, temb, zemb, deterministic=deterministic)
                 if res in cfg.attn_resolutions:
-                    h = AttnBlockSkip(cfg.skip_rescale, quant=self.quant_int8,
+                    h = AttnBlockSkip(cfg.skip_rescale, quant=attn_quant,
                                       name=f"down_{i_level}_attn_{i_block}")(h)
                 hs.append(h)
             if i_level != len(cfg.ch_mult) - 1:
@@ -210,7 +214,7 @@ class NCSNpp(nn.Module):
                            skip_rescale=cfg.skip_rescale,
                            name="mid_block_1")(h, temb, zemb,
                                                deterministic=deterministic)
-        h = AttnBlockSkip(cfg.skip_rescale, quant=self.quant_int8, name="mid_attn")(h)
+        h = AttnBlockSkip(cfg.skip_rescale, quant=attn_quant, name="mid_attn")(h)
         h = ResBlockBigGAN(h.shape[-1], dropout=cfg.dropout, quant=self.quant_int8,
                            skip_rescale=cfg.skip_rescale,
                            name="mid_block_2")(h, temb, zemb,
@@ -225,7 +229,7 @@ class NCSNpp(nn.Module):
                     jnp.concatenate([h, hs.pop()], axis=-1), temb, zemb,
                     deterministic=deterministic)
                 if res in cfg.attn_resolutions:
-                    h = AttnBlockSkip(cfg.skip_rescale, quant=self.quant_int8,
+                    h = AttnBlockSkip(cfg.skip_rescale, quant=attn_quant,
                                       name=f"up_{i_level}_attn_{i_block}")(h)
             if i_level != 0:
                 h = ResBlockBigGAN(h.shape[-1], up=True, dropout=cfg.dropout, quant=self.quant_int8,

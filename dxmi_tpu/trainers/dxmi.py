@@ -560,6 +560,9 @@ class DxMITrainer:
             "per_step/t": td_out["t"],
             "per_step/running_cost": td_out["running_cost"],
             "per_step/value": td_out["value"],
+            # not logged (the reference logs only the last v_loss);
+            # consumed by order-invariance tests
+            "per_step/v_loss": td_out["v_loss"],
         }
         if self.adavelreg is not None:
             metrics["per_step/betas_for_q"] = betas_for_q

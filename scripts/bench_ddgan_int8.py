@@ -61,6 +61,15 @@ def main():
     print("int8: calibrated", flush=True)
     bench("int8", s_q, q_params, shapes)
 
+    # selective precision: attention 1x1 convs stay bf16
+    net_sk = NCSNpp(config=NCSNppArgs(), quant_int8="static",
+                    quant_skip_attn=True)
+    s_sk = DDGANSampler(net_sk, n_timesteps=4, sample_shape=(3, 32, 32),
+                        trainable_beta="fix_last", use_z=True)
+    sk_params = s_sk.calibrate_quant(dict(params), jax.random.key(5),
+                                     n_sample=64, n_rounds=2)
+    bench("int8 skip_attn", s_sk, sk_params, shapes[:1])
+
 
 if __name__ == "__main__":
     main()

@@ -185,3 +185,35 @@ def test_vp_posterior_vs_float64_torch():
     std[0] = 0.0
     np.testing.assert_allclose(np.asarray(sch.sigma_q), std[order],
                                rtol=1e-5, atol=1e-8)
+
+
+def test_ddgan_int8_skip_attn():
+    """quant_skip_attn keeps the attention 1x1 convs bf16: same param
+    tree, runs, and drift vs fp cannot exceed the all-int8 variant's by
+    more than noise."""
+    cfg = NCSNppArgs(image_size=16, nf=16, ch_mult=(1, 2), num_res_blocks=1,
+                     attn_resolutions=(8,), nz=16, z_emb_dim=32, n_mlp=2)
+    s_fp = DDGANSampler(NCSNpp(config=cfg), n_timesteps=4,
+                        sample_shape=(3, 16, 16), trainable_beta="fix_last",
+                        use_z=True)
+    p = s_fp.init_params(jax.random.key(0))
+    leaves, tdef = jax.tree.flatten(p["net"])
+    ks = jax.random.split(jax.random.key(7), len(leaves))
+    p["net"] = jax.tree.unflatten(
+        tdef, [jax.random.normal(k, l.shape, l.dtype) * 0.05
+               for k, l in zip(ks, leaves)])
+    b = np.asarray(jax.jit(lambda pp, k: s_fp.sample(pp, k, 4))(
+        p, jax.random.key(2))["sample"], np.float32)
+
+    def drift(**kw):
+        s = DDGANSampler(NCSNpp(config=cfg, quant_int8="static", **kw),
+                         n_timesteps=4, sample_shape=(3, 16, 16),
+                         trainable_beta="fix_last", use_z=True)
+        pq = s.calibrate_quant({"net": p["net"], "log_betas": p["log_betas"]},
+                               jax.random.key(1), n_sample=4, n_rounds=1)
+        a = np.asarray(jax.jit(lambda pp, k: s.sample(pp, k, 4))(
+            pq, jax.random.key(2))["sample"], np.float32)
+        return np.abs(a - b).mean() / (np.abs(b).mean() + 1e-8)
+
+    full, skip = drift(), drift(quant_skip_attn=True)
+    assert skip <= full * 1.05 + 1e-6, (full, skip)

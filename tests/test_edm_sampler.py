@@ -332,3 +332,44 @@ def test_denoiser_preconditioning_vs_reference(reference_path):
     np.testing.assert_allclose(np.asarray(ci), c_in_ref, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(edm_rescaled_t(jnp.asarray(sigma))),
                                rescaled_ref.numpy(), rtol=1e-5)
+
+
+def test_td_sweep_order_invariance_frozen_value():
+    """With v_lr=0 the value params never change across the sweep, so the
+    mean over sweep steps of v_loss / running_cost / value equals the
+    global mean over the T*B rows — identical between 'backward' and
+    'shuffle' orders (each covers the newest T*B rows exactly once,
+    trainer.py:589-608)."""
+    from dxmi_tpu.models.igebm import IGEBMEncoder
+    from dxmi_tpu.models.value import TimeIndependentValue
+    from dxmi_tpu.trainers import buffer as buflib
+    from dxmi_tpu.trainers.dxmi_cond import DxMITrainerCond
+
+    T, B, RES = 4, 4, 8
+    s = EDMSampler(ConstNet(), None, n_timesteps=T, sample_shape=(3, RES, RES),
+                   class_cond=False, trainable_beta="fix_last")
+    sp = s.init_params(jax.random.key(0))
+    d = s.sample(sp, jax.random.key(2), B)
+    traj = buflib.from_d_sample(d)
+    img = jax.random.normal(jax.random.key(3), (B, RES, RES, 3))
+
+    def run(order):
+        value = TimeIndependentValue(net=IGEBMEncoder(nh=8, keepdim=False))
+        tr = DxMITrainerCond(batchsize=B, tau1=0.1, tau2=0.01, gamma=1.0,
+                             n_timesteps=T, use_sampler_beta=True,
+                             adavelreg=0.99, time_cost=0.0, time_cost_sig=1.0,
+                             value_update_order=order)
+        tr.set_models(s, value, lr=1e-5, v_lr=0.0, beta_lr=1e-5)
+        vp = value.init(jax.random.key(1), jnp.zeros((1, RES, RES, 3)),
+                        jnp.zeros((1,), jnp.int32))["params"]
+        state = tr.init_state(sp, vp)
+        _, m = tr.update_f_v(state, img, traj, jax.random.key(4))
+        return m
+
+    mb, ms = run("backward"), run("shuffle")
+    for key in ("per_step/v_loss", "per_step/running_cost", "per_step/value"):
+        np.testing.assert_allclose(float(np.mean(np.asarray(mb[key]))),
+                                   float(np.mean(np.asarray(ms[key]))),
+                                   rtol=2e-5, err_msg=key)
+    np.testing.assert_allclose(float(mb["ebm/d_loss_"]),
+                               float(ms["ebm/d_loss_"]), rtol=1e-6)
