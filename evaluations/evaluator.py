@@ -205,19 +205,65 @@ def inception_score(probs: np.ndarray, split_size: int = 5000) -> float:
 
 class ManifoldEstimator:
     """kNN-radius manifold estimation for improved precision/recall
-    (evaluator.py:205-360 semantics; k=3)."""
+    (evaluator.py:205-360 semantics; k=3).
+
+    ``device=True`` (default) runs the O(N^2 D) pairwise-distance passes
+    as jitted fp32 matmul blocks on the accelerator — at the paper's 50k
+    x 2048-d protocol that is ~30 TFLOP, minutes in host numpy vs
+    seconds on a TPU chip. fp32 + the (a^2+b^2-2ab) identity matches the
+    reference TF evaluator's own GPU math (evaluator.py:237-260); the
+    numpy path (``device=False``) is kept as the dependency-free
+    fallback and test oracle."""
 
     def __init__(self, nhood_size: int = 3, row_batch: int = 10000,
-                 col_batch: int = 10000):
+                 col_batch: int = 10000, device: bool = True):
         self.k = nhood_size
         self.row_batch = row_batch
         self.col_batch = col_batch
+        self.device = device
 
     def _pairwise_d2(self, a, b):
         return (np.sum(a**2, 1)[:, None] + np.sum(b**2, 1)[None]
                 - 2 * a @ b.T).clip(0)
 
+    def _row_blocks(self, feats, block_fn, rb):
+        """Run ``block_fn`` over fixed-shape row blocks (pad the tail so
+        one compiled program serves every block)."""
+        import jax.numpy as jnp
+
+        f = jnp.asarray(feats, jnp.float32)
+        n = len(feats)
+        outs = []
+        for i in range(0, n, rb):
+            rows = f[i:i + rb]
+            m = rows.shape[0]
+            if m < rb:
+                rows = jnp.pad(rows, ((0, rb - m), (0, 0)))
+            outs.append(np.asarray(block_fn(rows))[:m])
+        return np.concatenate(outs, axis=0)
+
     def manifold_radii(self, feats: np.ndarray) -> np.ndarray:
+        if self.device:
+            import jax
+            import jax.numpy as jnp
+
+            k = self.k
+            f = jnp.asarray(feats, jnp.float32)
+            sq = jnp.sum(f * f, axis=1)
+
+            @jax.jit
+            def block(rows):
+                rsq = jnp.sum(rows * rows, axis=1)
+                d2 = jnp.maximum(
+                    rsq[:, None] + sq[None, :] - 2.0 * rows @ f.T, 0.0)
+                # (k+1) smallest per row, ascending; [k] excludes the
+                # self-distance 0 on the diagonal
+                smallest = -jax.lax.top_k(-d2, k + 1)[0]
+                return smallest[:, k]
+
+            rb = min(self.row_batch, len(feats))
+            return self._row_blocks(feats, block, rb).astype(np.float64)
+
         n = len(feats)
         radii = np.zeros(n, dtype=np.float64)
         for i in range(0, n, self.row_batch):
@@ -233,6 +279,25 @@ class ManifoldEstimator:
 
     def evaluate(self, feats_a, radii_a, feats_b) -> float:
         """Fraction of feats_b inside the manifold of feats_a."""
+        if self.device:
+            import jax
+            import jax.numpy as jnp
+
+            f = jnp.asarray(feats_a, jnp.float32)
+            r = jnp.asarray(radii_a, jnp.float32)
+            sq = jnp.sum(f * f, axis=1)
+
+            @jax.jit
+            def block(rows):
+                rsq = jnp.sum(rows * rows, axis=1)
+                d2 = jnp.maximum(
+                    rsq[:, None] + sq[None, :] - 2.0 * rows @ f.T, 0.0)
+                return (d2 <= r[None, :]).any(axis=1)
+
+            rb = min(self.row_batch, len(feats_b))
+            inside = self._row_blocks(feats_b, block, rb)
+            return float(inside.mean())
+
         inside = np.zeros(len(feats_b), dtype=bool)
         for j in range(0, len(feats_b), self.row_batch):
             rows = feats_b[j:j + self.row_batch]
@@ -244,8 +309,8 @@ class ManifoldEstimator:
         return float(inside.mean())
 
 
-def compute_prec_recall(ref_feats, sample_feats, k=3):
-    est = ManifoldEstimator(k)
+def compute_prec_recall(ref_feats, sample_feats, k=3, device: bool = True):
+    est = ManifoldEstimator(k, device=device)
     radii_ref = est.manifold_radii(ref_feats)
     radii_sample = est.manifold_radii(sample_feats)
     precision = est.evaluate(ref_feats, radii_ref, sample_feats)

@@ -290,3 +290,28 @@ def test_batch_run_grad():
     expect = np.linalg.norm(x.reshape(10, -1), axis=1)
     assert g.shape == (10,)
     np.testing.assert_allclose(g, expect, rtol=1e-5)
+
+
+def test_manifold_estimator_device_matches_numpy():
+    """The jitted fp32 device path reproduces the numpy float64 oracle
+    (radii exactly at k-th order statistic; prec/recall counts equal on
+    non-degenerate data), including the padded tail block."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from evaluations.evaluator import ManifoldEstimator, compute_prec_recall
+
+    rng = np.random.RandomState(1)
+    a = rng.randn(130, 16).astype(np.float32)
+    b = (a[:90] + rng.randn(90, 16).astype(np.float32) * 0.5)
+
+    # row_batch=64 forces multiple blocks + a padded tail (130 = 2*64+2)
+    est_d = ManifoldEstimator(3, row_batch=64, device=True)
+    est_n = ManifoldEstimator(3, row_batch=64, device=False)
+    rd, rn = est_d.manifold_radii(a), est_n.manifold_radii(a)
+    np.testing.assert_allclose(rd, rn, rtol=1e-4, atol=1e-5)
+    assert est_d.evaluate(a, rd, b) == pytest.approx(
+        est_n.evaluate(a, rn, b), abs=0.02)
+
+    pd = compute_prec_recall(a, b, device=True)
+    pn = compute_prec_recall(a, b, device=False)
+    np.testing.assert_allclose(pd, pn, atol=0.02)
