@@ -75,3 +75,70 @@ def test_dryrun_multichip_contract():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_cond_data_parallel_both_phases():
+    """Cond trainer (EDM policy, class-conditional) under a data-sharded
+    batch on the 8-device mesh equals the single-device result for BOTH
+    update phases (psum-of-grads == full-batch grads; SURVEY.md §4's
+    distributed-equivalence seam for the large-image path)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dxmi_tpu.models.igebm import IGEBMEncoder
+    from dxmi_tpu.models.value import TimeIndependentValue
+    from dxmi_tpu.samplers.edm import EDMSampler
+    from dxmi_tpu.trainers import buffer as buflib
+    from dxmi_tpu.trainers.dxmi_cond import DxMITrainerCond
+    from tests.test_edm_sampler import ConstNet
+
+    T, B, RES = 4, 16, 8
+    s = EDMSampler(ConstNet(), None, n_timesteps=T,
+                   sample_shape=(3, RES, RES), class_cond=True,
+                   num_classes=10, trainable_beta="fix_last")
+    value = TimeIndependentValue(net=IGEBMEncoder(nh=8, keepdim=False))
+    tr = DxMITrainerCond(batchsize=B, tau1=0.1, tau2=0.01, gamma=1.0,
+                         n_timesteps=T, use_sampler_beta=True,
+                         adavelreg=0.99, time_cost=0.0, time_cost_sig=1.0)
+    tr.set_models(s, value, lr=1e-4, v_lr=1e-4, beta_lr=1e-4)
+    sp = s.init_params(jax.random.key(0))
+    vp = value.init(jax.random.key(1), jnp.zeros((1, RES, RES, 3)),
+                    jnp.zeros((1,), jnp.int32))["params"]
+    state = tr.init_state(sp, vp)
+
+    d = s.sample(sp, jax.random.key(2), B)
+    traj = buflib.from_d_sample(d)
+    img = jax.random.normal(jax.random.key(3), (B, RES, RES, 3))
+    y = jax.random.randint(jax.random.key(4), (B,), 0, 10)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+
+    def shard_traj(a):
+        if a is None:
+            return None
+        # buffer layout (K, T, B, ...) for trajectories, (K, B) for labels
+        spec = P(None, None, "data") if a.ndim >= 3 else P(None, "data")
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    traj_sh = jax.tree.map(shard_traj, traj)
+    img_sh = jax.device_put(img, NamedSharding(mesh, P("data")))
+    y_sh = jax.device_put(y, NamedSharding(mesh, P("data")))
+
+    s_ref, m_ref = tr.update_f_v(state, img, traj, jax.random.key(5), y=y)
+    s_sh, m_sh = tr.update_f_v(state, img_sh, traj_sh, jax.random.key(5),
+                               y=y_sh)
+    np.testing.assert_allclose(float(m_ref["ebm/d_loss_"]),
+                               float(m_sh["ebm/d_loss_"]), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(s_ref.v_params)[0]),
+        np.asarray(jax.tree.leaves(s_sh.v_params)[0]), rtol=2e-3, atol=1e-6)
+
+    p_ref, mp_ref = tr.update_sampler(s_ref, traj, jax.random.key(6),
+                                      n_generator=None)
+    p_sh, mp_sh = tr.update_sampler(s_sh, traj_sh, jax.random.key(6),
+                                    n_generator=None)
+    np.testing.assert_allclose(float(mp_ref["sampler/sampler_loss_"]),
+                               float(mp_sh["sampler/sampler_loss_"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(p_ref.sampler_params["log_betas"]),
+        np.asarray(p_sh.sampler_params["log_betas"]), rtol=1e-4, atol=1e-7)
