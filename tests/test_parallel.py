@@ -142,3 +142,58 @@ def test_cond_data_parallel_both_phases():
     np.testing.assert_allclose(
         np.asarray(p_ref.sampler_params["log_betas"]),
         np.asarray(p_sh.sampler_params["log_betas"]), rtol=1e-4, atol=1e-7)
+
+
+def test_ev_data_parallel_update_f_v():
+    """EV trainer (separate energy+value) under a data-sharded batch on
+    the 8-device mesh equals single-device (completes the SPMD-equivalence
+    coverage for all three trainer variants)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dxmi_tpu.models.igebm import IGEBMEncoder
+    from dxmi_tpu.models.value import TimeIndependentValue
+    from dxmi_tpu.samplers.var import VARSampler
+    from dxmi_tpu.trainers import buffer as buflib
+    from dxmi_tpu.trainers.dxmi_ev import DxMITrainerEV
+    from tests.test_ev_trainer import TinyEps
+
+    T, B, RES = 4, 16, 8
+    sampler = VARSampler(TinyEps(), n_timesteps=T, sample_shape=(3, RES, RES),
+                         trainable_beta=True)
+    value = TimeIndependentValue(net=IGEBMEncoder(nh=8, keepdim=False))
+    energy = IGEBMEncoder(nh=8, keepdim=False)
+    tr = DxMITrainerEV(batchsize=B, tau1=0.1, tau2=0.01, n_timesteps=T,
+                       use_sampler_beta=True, adavelreg=0.99)
+    tr.set_models(sampler, value, energy, lr=1e-4, v_lr=1e-4, f_lr=1e-4,
+                  beta_lr=1e-4)
+    sp = sampler.init_params(jax.random.key(0))
+    x0 = jnp.zeros((1, RES, RES, 3))
+    vp = value.init(jax.random.key(1), x0,
+                    jnp.zeros((1,), jnp.int32))["params"]
+    fp = energy.init(jax.random.key(2), x0)["params"]
+    state = tr.init_state_ev(sp, vp, fp)
+
+    d = sampler.sample(sp, jax.random.key(3), B)
+    traj = buflib.from_d_sample(d)
+    img = jax.random.normal(jax.random.key(4), (B, RES, RES, 3))
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+
+    def shard(a):
+        if a is None:
+            return None
+        spec = P(None, None, "data") if a.ndim >= 3 else P(None, "data")
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    traj_sh = jax.tree.map(shard, traj)
+    img_sh = jax.device_put(img, NamedSharding(mesh, P("data")))
+
+    s_ref, m_ref = tr.update_f_v(state, img, traj, jax.random.key(5))
+    s_sh, m_sh = tr.update_f_v(state, img_sh, traj_sh, jax.random.key(5))
+    np.testing.assert_allclose(float(m_ref["ebm/d_loss_"]),
+                               float(m_sh["ebm/d_loss_"]), rtol=1e-4)
+    for lhs, rhs in zip(jax.tree.leaves(s_ref.f_params),
+                        jax.tree.leaves(s_sh.f_params)):
+        # atol covers fp32 psum reduction-order noise on near-zero leaves
+        np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                                   rtol=2e-3, atol=1e-5)
