@@ -197,3 +197,71 @@ def test_ev_data_parallel_update_f_v():
         # atol covers fp32 psum reduction-order noise on near-zero leaves
         np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
                                    rtol=2e-3, atol=1e-5)
+
+
+def test_tp_sharding_specs():
+    """Megatron pairing: conv1/qkv column (Cout), conv2/proj_out row
+    (Cin); GN params replicated; column biases sharded."""
+    from jax.sharding import PartitionSpec as P
+
+    from dxmi_tpu.parallel.tp import tp_sharding_tree
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devs, ("data", "fsdp", "model"))
+    params = {
+        "block": {
+            "conv1": {"kernel": jnp.zeros((3, 3, 64, 128)),
+                      "bias": jnp.zeros((128,))},
+            "conv2": {"kernel": jnp.zeros((3, 3, 128, 64)),
+                      "bias": jnp.zeros((64,))},
+            "norm1": {"gn": {"scale": jnp.zeros((64,)),
+                             "bias": jnp.zeros((64,))}},
+        },
+        "attn": {
+            "qkv": {"kernel": jnp.zeros((1, 1, 64, 192))},
+            "proj_out": {"kernel": jnp.zeros((1, 1, 64, 64))},
+        },
+    }
+    tree = tp_sharding_tree(mesh, params, fsdp_axis="fsdp", min_size=1)
+    assert tree["block"]["conv1"]["kernel"].spec == P(
+        None, None, "fsdp", "model")
+    assert tree["block"]["conv1"]["bias"].spec == P("model")
+    assert tree["block"]["conv2"]["kernel"].spec == P(
+        None, None, "model", "fsdp")
+    assert tree["block"]["conv2"]["bias"].spec == P()
+    assert tree["block"]["norm1"]["gn"]["scale"].spec == P()
+    assert tree["attn"]["qkv"]["kernel"].spec == P(None, None, "fsdp",
+                                                   "model")
+    assert tree["attn"]["proj_out"]["kernel"].spec == P(
+        None, None, "model", "fsdp")
+
+
+def test_tp_forward_and_grad_equivalence():
+    """UNetSmall forward + input-grad under 2-D TPxFSDP param sharding on
+    a (data,fsdp,model) mesh matches the replicated program."""
+    from dxmi_tpu.models.unet_small import UNetSmall
+    from dxmi_tpu.parallel import shard_batch, shard_params_tp
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devs, ("data", "fsdp", "model"))
+    net = UNetSmall(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+                    attn_resolutions=(8,), dropout=0.0, in_channels=3,
+                    resolution=16)
+    x = jax.random.normal(jax.random.key(1), (8, 16, 16, 3))
+    t = jnp.zeros((8,), jnp.int32)
+    params = net.init(jax.random.key(0), x, t)["params"]
+
+    def loss(p, x):
+        return jnp.mean(net.apply({"params": p}, x, t) ** 2)
+
+    f = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+    ref_l, (ref_gp, ref_gx) = f(params, x)
+
+    p_sh = shard_params_tp(mesh, params, fsdp_axis="fsdp", min_size=1)
+    out_l, (out_gp, out_gx) = f(p_sh, shard_batch(mesh, x))
+    np.testing.assert_allclose(float(out_l), float(ref_l), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_gx), np.asarray(ref_gx),
+                               rtol=2e-4, atol=1e-5)
+    gp_err = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), out_gp, ref_gp)
+    assert max(jax.tree.leaves(gp_err)) < 1e-4
