@@ -33,13 +33,17 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # module names whose kernels are row-parallel (shard the input-channel
-# dim; output returns to replicated via the GSPMD-inserted psum)
+# dim; output returns to replicated via the GSPMD-inserted psum).
+# Path segments are '/'-joined (_path_str), so name boundaries are
+# '/' or '_' or string ends — NOT '_' alone (round-1 bug: the '_'-only
+# boundaries never matched '/'-delimited segments, silently routing
+# every kernel column-parallel).
 _ROW_PARALLEL = re.compile(
-    r"(^|_)(conv2|proj_out|nin_shortcut|skip_connection|out_layers_\d+"
-    r"|out_2|out_conv|dense2)($|_)")
+    r"(^|[/_])(conv2|proj_out|nin_shortcut|skip_connection|out_layers_\d+"
+    r"|out_2|out_conv|dense2)($|[/_])")
 # names to leave replicated regardless (normalization params are tiny and
 # GN group statistics are cheapest computed on full channel vectors)
-_REPLICATED = re.compile(r"(^|_)(gn|norm|scale_out|label_emb)($|_)")
+_REPLICATED = re.compile(r"(^|[/_])(gn|norm\d*|scale_out|label_emb)($|[/_])")
 
 
 def _path_str(path) -> str:
@@ -70,6 +74,8 @@ def tp_spec(path, a, n_model: int, axis: str = "model",
         # parallel outputs are replicated after the psum
         if not row and a.shape[0] % n_model == 0 and a.shape[0] >= n_model:
             spec[0] = axis
+    while spec and spec[-1] is None:
+        spec.pop()
     return P(*spec)
 
 

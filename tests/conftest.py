@@ -25,6 +25,19 @@ jax.config.update("jax_platforms", "cpu")
 import pathlib
 import sys
 
+# Persistent compile cache: CPU test compiles (hundreds of jitted
+# programs over the virtual 8-device mesh) dominated the 28-minute
+# round-1 suite; cached reruns skip them.
+_CACHE = pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"
+_CACHE.mkdir(exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_CACHE))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+try:
+    jax.config.update("jax_persistent_cache_enable_xla_caches",
+                      "xla_gpu_per_fusion_autotune_cache_dir")
+except Exception:
+    pass
+
 import pytest
 
 REPO_ROOT = pathlib.Path(__file__).resolve().parents[1]
