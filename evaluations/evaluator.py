@@ -78,13 +78,23 @@ def build_extractors(weights_path=None, batch=100):
             x = I.InceptionC(128, name="Mixed_6b")(x)
             x = I.InceptionC(160, name="Mixed_6c")(x)
             x = I.InceptionC(160, name="Mixed_6d")(x)
+            # sFID spatial tap: the reference evaluator taps the TF graph
+            # tensor ``mixed_6/conv:0`` sliced to [..., :7]
+            # (/root/reference/evaluations/evaluator.py:24,599).  In the
+            # 2015-12-05 classify_image graph, ``mixed_6`` is the THIRD
+            # 17x17 InceptionC block (torchvision Mixed_6d) and ``conv``
+            # names its branch1x1 unit's post-BN+ReLU output (192ch).
+            # Our InceptionC concatenates [branch1x1, ...] first, so the
+            # branch1x1 activation IS the first 192 channels of the block
+            # output; slicing [..., :7] here is tensor-identical.  NHWC
+            # row-major flatten matches the TF evaluator's reshape.
+            spatial = x  # (B, 17, 17, 768); [..., :192] == branch1x1 out
             x = I.InceptionC(192, name="Mixed_6e")(x)
-            spatial = x  # (B, 17, 17, 768)
             x = I.InceptionD(name="Mixed_7a")(x)
             x = I.InceptionE("avg", name="Mixed_7b")(x)
             x = I.InceptionE("max", name="Mixed_7c")(x)
             pool3 = jnp.mean(x, axis=(1, 2))
-            # sFID uses the first 7 channels of the spatial map
+            # sFID uses the first 7 channels (2023 = 7*17*17 dims)
             sp = spatial[..., :7].reshape(spatial.shape[0], -1)
             return {"pool3": pool3, "spatial": sp}
 

@@ -126,6 +126,34 @@ def test_deterministic_rng_batch_invariance():
                                np.concatenate([first, rest]), rtol=1e-6)
 
 
+def test_evaluator_sfid_tap_semantics():
+    """The sFID spatial tap must be the first 7 channels of the Mixed_6d
+    (TF ``mixed_6``) block's branch1x1 post-BN+ReLU output (reference
+    evaluations/evaluator.py:24,599).  Validates the mapping's linchpin:
+    InceptionC concatenates [branch1x1, ...] first, so slicing the block
+    output's leading channels IS the branch1x1 activation."""
+    import flax.linen as nn
+    from dxmi_tpu.fid import inception as I
+    from evaluations.evaluator import build_extractors
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(2, 17, 17, 640).astype(np.float32))
+    block = I.InceptionC(160)
+    params = block.init(jax.random.key(0), x)
+    out = block.apply(params, x)
+    b1 = I.ConvBN(192, (1, 1)).apply(
+        {"params": params["params"]["branch1x1"]}, x)
+    assert out.shape[-1] == 768
+    np.testing.assert_allclose(np.asarray(out[..., :192]), np.asarray(b1),
+                               rtol=1e-6, atol=1e-6)
+
+    # end-to-end: spatial feature dimension is 7*17*17 = 2023
+    extract = build_extractors(weights_path=None, batch=2)
+    feats = extract(np.zeros((2, 32, 32, 3), np.float32))
+    assert feats["spatial"].shape == (2, 2023)
+    assert feats["pool3"].shape == (2, 2048)
+
+
 def test_evaluator_prec_recall_sanity():
     import sys
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
