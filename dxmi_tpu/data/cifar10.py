@@ -94,11 +94,30 @@ class EpochLoader:
             yield x, self.ds.labels[idx]
 
 
-def fake_cifar(n: int = 256, seed: int = 0) -> CIFAR10:
+def fake_cifar(n: int = 256, seed: int = 0, structured: bool = True) -> CIFAR10:
     """A tiny synthetic stand-in used by tests and smoke runs when the real
-    dataset is absent (this container has no egress)."""
+    dataset is absent (this container has no egress).
+
+    ``structured=True`` (default) draws smooth color gradients with a
+    bright blob instead of uniform noise — enough low-frequency signal
+    that training runs on fake data produce weights with realistic
+    statistics (GN scales, attention logits), which the int8/fused-op
+    quality probes rely on."""
     ds = CIFAR10.__new__(CIFAR10)
     rng = np.random.RandomState(seed)
-    ds.images = (rng.rand(n, 32, 32, 3) * 255).astype(np.uint8)
+    if not structured:
+        ds.images = (rng.rand(n, 32, 32, 3) * 255).astype(np.uint8)
+    else:
+        yy, xx = np.mgrid[0:32, 0:32].astype(np.float32) / 31.0
+        a, b, c = [rng.uniform(-1, 1, (n, 1, 1)) for _ in range(3)]
+        base = 0.5 + 0.4 * (a * xx + b * yy + c * xx * yy)  # (n, 32, 32)
+        cx = rng.uniform(0.2, 0.8, (n, 1, 1))
+        cy = rng.uniform(0.2, 0.8, (n, 1, 1))
+        blob = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / 0.02))
+        w = rng.uniform(0.2, 1.0, (n, 1, 1, 3))
+        bw = rng.uniform(0.0, 1.0, (n, 1, 1, 3))
+        img = (base[..., None] * w + 0.6 * blob[..., None] * bw
+               + rng.normal(0, 0.02, (n, 32, 32, 3)))
+        ds.images = (np.clip(img, 0, 1) * 255).astype(np.uint8)
     ds.labels = rng.randint(0, 10, n).astype(np.int32)
     return ds
