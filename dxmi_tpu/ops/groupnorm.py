@@ -27,17 +27,44 @@ import numpy as np
 _VMEM_BLOCK_BUDGET = 6 * 1024 * 1024
 
 
+def _gn_stats_mode() -> str:
+    """GN statistics formulation (measured on-chip, scripts/bench_int8_gap.py
+    + bench_gn_stats.py — GN stats are the dominant non-conv cost of the
+    int8 sampling path):
+
+      'fp32'    — two-pass fp32 stats (parity default; bit-matches the
+                  round-1 behavior and the reference's GroupNorm32)
+      'onepass' — fp32 s1/s2 one-pass stats (both reductions read x once;
+                  E[x^2]-E[x]^2 in fp32 is safe at GN activation scales)
+      'bf16'    — stats in the compute dtype, two-pass
+      'bf16_onepass' — compute-dtype s1/s2 with fp32 accumulation
+    """
+    import os
+
+    return os.environ.get("DXMI_GN_STATS", "fp32")
+
+
 def group_norm_silu_reference(x, scale, bias, num_groups: int, eps: float,
                               silu: bool):
-    """Pure-jnp GroupNorm(+SiLU) with fp32 statistics. x: (..., C)."""
+    """Pure-jnp GroupNorm(+SiLU). x: (..., C). Statistics formulation is
+    selected by DXMI_GN_STATS (default: two-pass fp32 — see _gn_stats_mode)."""
+    mode = _gn_stats_mode()
     orig_dtype = x.dtype
     B = x.shape[0]
     C = x.shape[-1]
-    xf = x.astype(jnp.float32).reshape(B, -1, num_groups, C // num_groups)
-    mean = xf.mean(axis=(1, 3), keepdims=True)
-    var = jnp.square(xf - mean).mean(axis=(1, 3), keepdims=True)
+    sdt = jnp.float32 if mode in ("fp32", "onepass") else x.dtype
+    xf = x.astype(sdt).reshape(B, -1, num_groups, C // num_groups)
+    if mode in ("onepass", "bf16_onepass"):
+        n = xf.shape[1] * xf.shape[3]
+        s1 = jnp.sum(xf, axis=(1, 3), keepdims=True, dtype=jnp.float32)
+        s2 = jnp.sum(xf * xf, axis=(1, 3), keepdims=True, dtype=jnp.float32)
+        mean = (s1 / n).astype(sdt)
+        var = jnp.maximum(s2 / n - jnp.square(s1 / n), 0.0).astype(sdt)
+    else:
+        mean = xf.mean(axis=(1, 3), keepdims=True)
+        var = jnp.square(xf - mean).mean(axis=(1, 3), keepdims=True)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    y = y.reshape(B, -1, C) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    y = y.reshape(B, -1, C) * scale.astype(sdt) + bias.astype(sdt)
     if silu:
         y = y * jax.nn.sigmoid(y)
     return y.reshape(x.shape).astype(orig_dtype)

@@ -26,13 +26,19 @@ import jax
 import jax.numpy as jnp
 
 
-def sample_np(sampler, params, key, n, batch, desc):
+def sample_np(sampler, params, key, n, batch, desc, gn_stats="fp32"):
+    """GN stats mode is read at TRACE time — scope the env var around the
+    jit call so each arm compiles with its own formulation."""
     from dxmi_tpu.samplers import sample_many
 
     assert n % batch == 0
-    imgs = jax.jit(lambda k: sample_many(sampler, params, k, n // batch,
-                                         batch))(key)
-    x = np.asarray(imgs).reshape(n, *imgs.shape[2:])
+    os.environ["DXMI_GN_STATS"] = gn_stats
+    try:
+        imgs = jax.jit(lambda k: sample_many(sampler, params, k, n // batch,
+                                             batch))(key)
+        x = np.asarray(imgs).reshape(n, *imgs.shape[2:])
+    finally:
+        os.environ.pop("DXMI_GN_STATS", None)
     print(f"{desc}: {x.shape} range [{x.min():.3f},{x.max():.3f}]",
           flush=True)
     return np.clip((x + 1.0) / 2.0, 0.0, 1.0)
@@ -62,7 +68,10 @@ def main():
     print(f"loaded {path}")
 
     def build(quant):
-        kw = {"quant_int8": "static"} if quant else {}
+        # int8 arm = the EXACT bench.py config: static W8A8 +
+        # quant_skip_attn + bf16_onepass GN stats (scripts/bench_gn_stats.py)
+        kw = ({"quant_int8": "static", "quant_skip_attn": True}
+              if quant else {})
         net = instantiate(cfg["sampler_net"], dtype=jnp.bfloat16,
                           softmax_f32=False, **kw)
         sampler = instantiate(cfg["sampler"], net=net)
@@ -88,7 +97,9 @@ def main():
     sets = {
         "fp_seedA": sample_np(s_fp, p_fp, ka, args.n, args.batch, "fp A"),
         "fp_seedB": sample_np(s_fp, p_fp, kb, args.n, args.batch, "fp B"),
-        "int8_seedA": sample_np(s_q, p_q, ka, args.n, args.batch, "int8 A"),
+        "int8_seedA": sample_np(s_q, p_q, ka, args.n, args.batch,
+                                "int8+bf16_onepass A",
+                                gn_stats="bf16_onepass"),
     }
     stats = {k: activation_statistics(feats(v)) for k, v in sets.items()}
 

@@ -105,3 +105,27 @@ def test_unet_fuse_gn_conv_param_tree_compatible():
     b = fu.apply({"params": p1}, x, t)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_gn_stats_modes_agree(monkeypatch):
+    """Every DXMI_GN_STATS formulation matches the two-pass fp32 reference
+    within its precision class (bf16 modes ~1e-2 rel; fp32 one-pass ~1e-6)."""
+    import os
+
+    from dxmi_tpu.ops.groupnorm import group_norm_silu_reference
+
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 64),
+                          jnp.bfloat16) * 3.0 + 0.7
+    scale = jax.random.normal(jax.random.key(1), (64,)) * 0.1 + 1.0
+    bias = jax.random.normal(jax.random.key(2), (64,)) * 0.1
+
+    monkeypatch.delenv("DXMI_GN_STATS", raising=False)
+    ref = np.asarray(group_norm_silu_reference(x, scale, bias, 32, 1e-6,
+                                               True), np.float32)
+    for mode, tol in (("onepass", 2e-3), ("bf16", 3e-2),
+                      ("bf16_onepass", 3e-2)):
+        monkeypatch.setenv("DXMI_GN_STATS", mode)
+        out = np.asarray(group_norm_silu_reference(x, scale, bias, 32, 1e-6,
+                                                   True), np.float32)
+        err = np.max(np.abs(out - ref)) / max(np.max(np.abs(ref)), 1e-9)
+        assert err < tol, f"{mode}: rel err {err:.2e}"

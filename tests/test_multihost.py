@@ -27,6 +27,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.heavy
 def test_two_process_step_matches_single_process(tmp_path):
     port = _free_port()
     outs = [str(tmp_path / f"proc{i}.json") for i in range(2)]

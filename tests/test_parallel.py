@@ -236,6 +236,7 @@ def test_tp_sharding_specs():
         None, None, "model", "fsdp")
 
 
+@pytest.mark.heavy
 def test_tp_forward_and_grad_equivalence():
     """UNetSmall forward + input-grad under 2-D TPxFSDP param sharding on
     a (data,fsdp,model) mesh matches the replicated program."""
