@@ -228,7 +228,21 @@ def load_fid_inception_params(path: str) -> Dict[str, Any]:
 def random_fid_inception_params(key) -> Dict[str, Any]:
     """Randomly-initialised params (tests / environments without the
     published weights — FID values are then NOT comparable, only the
-    pipeline shape)."""
+    pipeline shape).
+
+    Kernels are He-rescaled (flax's lecun_normal default halves activation
+    variance at every ReLU; through ~94 convs the pool3 features collapse
+    to ~2e-4 std and every Frechet distance degenerates to 0). With the
+    sqrt(2) gain the random network keeps healthy per-dim variance, which
+    makes it usable as a CONSISTENT random-feature comparator (relative
+    A/Bs only, still not comparable to published FID numbers)."""
     model = InceptionV3FID()
     x = jnp.zeros((1, 32, 32, 3))
-    return jax.jit(model.init)(key, x)["params"]
+    params = jax.jit(model.init)(key, x)["params"]
+
+    def he(path, leaf):
+        if path[-1].key == "kernel":
+            return leaf * jnp.sqrt(2.0)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(he, params)

@@ -201,7 +201,11 @@ class AttnBlock(nn.Module):
     softmax_f32: bool = True
     quant: bool = False
     # 'einsum' = reference semantics (two XLA matmuls, materialized
-    # logits); 'fused' = the whole block (GN+q/k/v+attention+proj+
+    # logits); 'einsum_merged' = same math but the q/k/v 1x1 convs run as
+    # ONE (C, 3C) matmul built from the unchanged per-conv params at trace
+    # time (reads the normed map once instead of three times; identical
+    # per-channel dot products, checkpoint-compatible param tree);
+    # 'fused' = the whole block (GN+q/k/v+attention+proj+
     # residual) as ONE Pallas kernel (ops/attn_block.py, single-head
     # d=C path) where its gate admits the shape. int8 nets keep the
     # einsum path (the fused kernel runs its 1x1s in the compute dtype
@@ -232,9 +236,20 @@ class AttnBlock(nn.Module):
                                  num_heads=1, eps=1e-6)
             return y.reshape(B, H, W, C)
         h = GroupNorm32(dtype=self.dtype, name="norm")(x)
-        q = _conv(self.quant, C, (1, 1), self.dtype, "q", padding=0)(h).reshape(B, H * W, C)
-        k = _conv(self.quant, C, (1, 1), self.dtype, "k", padding=0)(h).reshape(B, H * W, C)
-        v = _conv(self.quant, C, (1, 1), self.dtype, "v", padding=0)(h).reshape(B, H * W, C)
+        if self.attn_impl == "einsum_merged" and not self.quant:
+            kq, bq = _ConvHolder(C, (1, 1), name="q")(C)
+            kk, bk = _ConvHolder(C, (1, 1), name="k")(C)
+            kv, bv = _ConvHolder(C, (1, 1), name="v")(C)
+            w_qkv = jnp.concatenate(
+                [kq.reshape(C, C), kk.reshape(C, C), kv.reshape(C, C)],
+                axis=1).astype(self.dtype)
+            b_qkv = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
+            qkv = h.reshape(B, H * W, C) @ w_qkv + b_qkv
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = _conv(self.quant, C, (1, 1), self.dtype, "q", padding=0)(h).reshape(B, H * W, C)
+            k = _conv(self.quant, C, (1, 1), self.dtype, "k", padding=0)(h).reshape(B, H * W, C)
+            v = _conv(self.quant, C, (1, 1), self.dtype, "v", padding=0)(h).reshape(B, H * W, C)
 
         scale = C ** -0.5
         acc = jnp.float32 if self.softmax_f32 else self.dtype

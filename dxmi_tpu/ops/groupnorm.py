@@ -38,6 +38,14 @@ def _gn_stats_mode() -> str:
                   E[x^2]-E[x]^2 in fp32 is safe at GN activation scales)
       'bf16'    — stats in the compute dtype, two-pass
       'bf16_onepass' — compute-dtype s1/s2 with fp32 accumulation
+      'bf16_onepass_sub2' / 'bf16_onepass_sub4' — bf16_onepass with the
+                  statistics estimated from every 2nd/4th spatial ROW
+                  (contiguous (W,C) blocks, so the skipped rows are never
+                  read). Applied only when the map has >= 256 spatial
+                  positions — small maps keep exact stats. Estimation is
+                  unbiased with 2x/4x estimator variance; quality is
+                  gated at the FID level (scripts/bench_int8_quality.py),
+                  same discipline as the bf16-stats step.
     """
     import os
 
@@ -49,15 +57,27 @@ def group_norm_silu_reference(x, scale, bias, num_groups: int, eps: float,
     """Pure-jnp GroupNorm(+SiLU). x: (..., C). Statistics formulation is
     selected by DXMI_GN_STATS (default: two-pass fp32 — see _gn_stats_mode)."""
     mode = _gn_stats_mode()
+    sub = 1
+    if mode.endswith("_sub2") or mode.endswith("_sub4"):
+        sub = int(mode[-1])
+        mode = mode[:-5]
     orig_dtype = x.dtype
     B = x.shape[0]
     C = x.shape[-1]
     sdt = jnp.float32 if mode in ("fp32", "onepass") else x.dtype
     xf = x.astype(sdt).reshape(B, -1, num_groups, C // num_groups)
     if mode in ("onepass", "bf16_onepass"):
-        n = xf.shape[1] * xf.shape[3]
-        s1 = jnp.sum(xf, axis=(1, 3), keepdims=True, dtype=jnp.float32)
-        s2 = jnp.sum(xf * xf, axis=(1, 3), keepdims=True, dtype=jnp.float32)
+        xs = xf
+        if sub > 1 and x.ndim == 4 and x.shape[1] * x.shape[2] >= 256 \
+                and x.shape[1] % sub == 0:
+            # estimate stats from every sub-th spatial row: x is NHWC, so
+            # the kept rows are contiguous (W, C) blocks and the skipped
+            # rows are never read
+            xs = x.astype(sdt)[:, ::sub].reshape(
+                B, -1, num_groups, C // num_groups)
+        n = xs.shape[1] * xs.shape[3]
+        s1 = jnp.sum(xs, axis=(1, 3), keepdims=True, dtype=jnp.float32)
+        s2 = jnp.sum(xs * xs, axis=(1, 3), keepdims=True, dtype=jnp.float32)
         mean = (s1 / n).astype(sdt)
         var = jnp.maximum(s2 / n - jnp.square(s1 / n), 0.0).astype(sdt)
     else:

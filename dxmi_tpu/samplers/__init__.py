@@ -31,7 +31,9 @@ def sample_many(sampler, params, key, n_batches: int, batch: int, **kw):
     def body(carry, k):
         return carry, sampler.sample(params, k, batch, **kw)["sample"]
 
-    _, out = jax.lax.scan(body, 0, keys)
+    import os
+    unroll = int(os.environ.get("DXMI_OUTER_UNROLL", "1"))
+    _, out = jax.lax.scan(body, 0, keys, unroll=unroll)
     return out
 
 

@@ -202,7 +202,10 @@ class VARSampler:
             return x_next, out
 
         idx = jnp.arange(self.n_timesteps)
-        _, traj = jax.lax.scan(step, x0, (idx, step_keys, drop_keys))
+        import os
+        unroll = int(os.environ.get("DXMI_SCAN_UNROLL", "1"))
+        _, traj = jax.lax.scan(step, x0, (idx, step_keys, drop_keys),
+                               unroll=unroll)
 
         l_sample = jnp.concatenate([x0[None], traj["x"]], axis=0)
         return {

@@ -80,15 +80,11 @@ def main():
             "bf16_onepass", batch=32, nb=128)
 
 
-if __name__ == "__main__":
-    main()
-
-
 def extra():
     """Round-2 follow-up: int8 moves the batch optimum up (as on ADM/LSUN);
     sweep past 96 + try the Pallas GN kernel in the int8 context."""
     skip = {"quant_skip_attn": True}
-    for b, nb in ((112, 40), (128, 36), (128, 48), (160, 28)):
+    for b, nb in ((80, 48), (112, 36), (128, 32), (96, 64)):
         run(f"int8 skip_attn bf16_onepass {b}x{nb}", skip, "bf16_onepass",
             batch=b, nb=nb)
     os.environ["DXMI_FUSED_GN"] = "1"
@@ -97,3 +93,53 @@ def extra():
             batch=96, nb=48)
     finally:
         os.environ.pop("DXMI_FUSED_GN", None)
+
+
+def sub():
+    """Round-2: spatially-subsampled GN stats (stats read every 2nd/4th
+    row; affine-only bound at 96x48 is 2078, so stats cost ~151 img/s)."""
+    skip = {"quant_skip_attn": True}
+    for mode in ("bf16_onepass_sub2", "bf16_onepass_sub4"):
+        for b, nb in ((96, 48),):
+            run(f"int8 skip_attn {mode} {b}x{nb}", skip, mode,
+                batch=b, nb=nb)
+
+
+def merged():
+    """einsum_merged attention (one (C,3C) qkv matmul, exact numerics) x
+    sub-sampled GN stats — the two residual-gap levers combined."""
+    skip = {"quant_skip_attn": True, "attn_impl": "einsum_merged"}
+    run("int8 skip_attn MERGED bf16_onepass 96x48", skip, "bf16_onepass",
+        batch=96, nb=48)
+    run("int8 skip_attn MERGED sub2 96x48", skip, "bf16_onepass_sub2",
+        batch=96, nb=48)
+    run("int8 skip_attn MERGED sub4 96x48", skip, "bf16_onepass_sub4",
+        batch=96, nb=48)
+
+
+def unroll():
+    """Scan-unroll codegen sweep at the merged-attention operating point
+    (exact semantics; unroll only changes XLA codegen)."""
+    skip = {"quant_skip_attn": True, "attn_impl": "einsum_merged"}
+    for inner, outer in ((2, 1), (10, 1), (1, 2), (2, 2)):
+        os.environ["DXMI_SCAN_UNROLL"] = str(inner)
+        os.environ["DXMI_OUTER_UNROLL"] = str(outer)
+        try:
+            run(f"MERGED unroll inner={inner} outer={outer}", skip,
+                "bf16_onepass", batch=96, nb=48)
+        finally:
+            os.environ.pop("DXMI_SCAN_UNROLL", None)
+            os.environ.pop("DXMI_OUTER_UNROLL", None)
+
+
+if __name__ == "__main__":
+    if sys.argv[1:] == ["extra"]:
+        extra()
+    elif sys.argv[1:] == ["sub"]:
+        sub()
+    elif sys.argv[1:] == ["merged"]:
+        merged()
+    elif sys.argv[1:] == ["unroll"]:
+        unroll()
+    else:
+        main()

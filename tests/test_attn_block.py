@@ -118,3 +118,26 @@ def test_attention_block_adm_fused_param_tree_and_numerics(monkeypatch):
     out_f = fus.apply({"params": p}, x)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_e),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_unet_small_einsum_merged_exact():
+    """attn_impl='einsum_merged' runs q/k/v as one (C,3C) matmul built from
+    the UNCHANGED per-conv params: identical param tree and bitwise-equal
+    outputs vs the reference einsum path (unet_small.py AttnBlock)."""
+    from dxmi_tpu.models.unet_small import UNetSmall
+
+    for dt in (jnp.float32, jnp.bfloat16):
+        a = UNetSmall(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+                      attn_resolutions=(8,), dropout=0.0, in_channels=3,
+                      resolution=16, dtype=dt)
+        b = UNetSmall(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+                      attn_resolutions=(8,), dropout=0.0, in_channels=3,
+                      resolution=16, dtype=dt, attn_impl="einsum_merged")
+        x = jax.random.normal(jax.random.key(0), (2, 16, 16, 3))
+        t = jnp.array([3, 7])
+        pa = a.init(jax.random.key(1), x, t)
+        pb = b.init(jax.random.key(1), x, t)
+        assert jax.tree.structure(pa) == jax.tree.structure(pb)
+        ya = np.asarray(a.apply(pa, x, t), np.float32)
+        yb = np.asarray(b.apply(pa, x, t), np.float32)
+        np.testing.assert_array_equal(ya, yb)

@@ -129,3 +129,37 @@ def test_gn_stats_modes_agree(monkeypatch):
                                                    True), np.float32)
         err = np.max(np.abs(out - ref)) / max(np.max(np.abs(ref)), 1e-9)
         assert err < tol, f"{mode}: rel err {err:.2e}"
+
+
+def test_gn_stats_subsampled(monkeypatch):
+    """bf16_onepass_sub{2,4} estimate stats from every 2nd/4th spatial row:
+    unbiased but noisier — outputs stay within a loose tolerance of exact
+    stats on big maps, and small maps (< 256 positions) are untouched."""
+    from dxmi_tpu.ops.groupnorm import group_norm_silu_reference
+
+    x = jax.random.normal(jax.random.key(0), (2, 32, 32, 64),
+                          jnp.bfloat16) * 3.0 + 0.7
+    scale = jnp.ones((64,))
+    bias = jnp.zeros((64,))
+
+    monkeypatch.delenv("DXMI_GN_STATS", raising=False)
+    ref = np.asarray(group_norm_silu_reference(x, scale, bias, 32, 1e-6,
+                                               True), np.float32)
+    for mode, tol in (("bf16_onepass_sub2", 0.15), ("bf16_onepass_sub4",
+                                                    0.25)):
+        monkeypatch.setenv("DXMI_GN_STATS", mode)
+        out = np.asarray(group_norm_silu_reference(x, scale, bias, 32, 1e-6,
+                                                   True), np.float32)
+        err = np.max(np.abs(out - ref)) / max(np.max(np.abs(ref)), 1e-9)
+        assert 0 < err < tol, f"{mode}: rel err {err:.2e}"
+
+    # small map: sub modes fall back to exact stats (same values as
+    # bf16_onepass)
+    xs = x[:, :8, :8]
+    monkeypatch.setenv("DXMI_GN_STATS", "bf16_onepass")
+    exact = np.asarray(group_norm_silu_reference(xs, scale, bias, 32, 1e-6,
+                                                 True), np.float32)
+    monkeypatch.setenv("DXMI_GN_STATS", "bf16_onepass_sub4")
+    sub = np.asarray(group_norm_silu_reference(xs, scale, bias, 32, 1e-6,
+                                               True), np.float32)
+    np.testing.assert_array_equal(exact, sub)
