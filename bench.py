@@ -7,11 +7,21 @@ Baseline: BASELINE.md north-star — >= 2,000 images/sec/chip sampling
 (CIFAR T=10) on TPU v5e. The reference publishes no throughput numbers
 (SURVEY.md §6), so the driver-set target is the denominator.
 
+Measured path (round 2): static W8A8 int8 convs (per-input-channel
+scales) with attention 1x1s kept bf16 (quant_skip_attn), the merged
+(C,3C) qkv matmul (attn_impl='einsum_merged', exact numerics), and
+bf16-read/fp32-accumulate GroupNorm statistics (DXMI_GN_STATS=
+bf16_onepass). Quality gate (PERF.md "int8 quality gate", scripts/
+bench_int8_quality.py on trained golden-fixture weights): the int8
+path's Frechet distance to the fp path is 0.0008 vs a 0.0545
+same-weights reseed floor — 68x below sampling noise. Pixel drift on
+trained weights 0.53%.
+
 Measurement shape mirrors production bulk generation: a lax.scan over
-whole trajectories inside one dispatch (dxmi_tpu.samplers.sample_many), so
+whole trajectories inside one dispatch (dxmi_tpu.samplers.sample_many),
+params closed over as jit constants (fixed checkpoint), so
 host/dispatch latency is amortized exactly as it is when generating 50k
-FID samples. bf16 compute with bf16 attention softmax (the reference's
-own mixed-precision path runs fp16 attention, cm/unet.py:423).
+FID samples.
 """
 from __future__ import annotations
 
@@ -27,6 +37,10 @@ os.makedirs("/root/repo/.jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+# GN statistics formulation for the measured path (see PERF.md GN-stats
+# matrix): bf16 reads, fp32 s1/s2 accumulation. Set before model import.
+os.environ.setdefault("DXMI_GN_STATS", "bf16_onepass")
+
 import jax.numpy as jnp
 
 BASELINE_IMAGES_PER_SEC = 2000.0
@@ -37,20 +51,25 @@ def main():
     from dxmi_tpu.samplers import sample_many
     from dxmi_tpu.samplers.var import VARSampler
 
-    # measured optimum on v5e (PERF.md shape sweep): batch 64 keeps the
-    # per-step working set small enough for XLA's fusions; the scan over
-    # 64 trajectories amortizes dispatch. Params are closed over as jit
-    # CONSTANTS — the production bulk-generation shape (fixed checkpoint),
-    # which lets XLA pre-layout weights and fold the fp32->bf16 casts.
-    batch = 64
-    n_batches = 64
+    # measured optimum on v5e (PERF.md batch sweep at the int8 point):
+    # batch 96 saturates; 96x48 and 96x64 tie. Params are closed over as
+    # jit CONSTANTS — the production bulk-generation shape (fixed
+    # checkpoint), which lets XLA pre-layout weights and fold casts.
+    batch = 96
+    n_batches = 48
 
     net = UNetSmall(ch=128, out_ch=3, ch_mult=(1, 2, 2, 2), num_res_blocks=2,
                     attn_resolutions=(16,), dropout=0.0, in_channels=3,
-                    resolution=32, dtype=jnp.bfloat16, softmax_f32=False)
+                    resolution=32, dtype=jnp.bfloat16, softmax_f32=False,
+                    quant_int8="static", quant_skip_attn=True,
+                    attn_impl="einsum_merged")
     sampler = VARSampler(net, n_timesteps=10, sample_shape=(3, 32, 32),
                          trainable_beta="fix_last")
     params = sampler.init_params(jax.random.key(0))
+    # static int8 activation scales from a short calibration pass
+    # (percentile q=0.995; PERF.md calibration sweep)
+    params = sampler.calibrate_quant(params, jax.random.key(3),
+                                     n_sample=8, n_rounds=1)
 
     gen = jax.jit(lambda k: sample_many(sampler, params, k, n_batches, batch))
 

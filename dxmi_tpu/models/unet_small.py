@@ -205,6 +205,14 @@ class AttnBlock(nn.Module):
     # ONE (C, 3C) matmul built from the unchanged per-conv params at trace
     # time (reads the normed map once instead of three times; identical
     # per-channel dot products, checkpoint-compatible param tree);
+    # 'einsum_folded' = merged q/k PLUS the algebraic fold of the v conv
+    # and proj_out into one (C,C) matmul: softmax rows sum to 1, so
+    #   (w @ (h Wv + bv)) Wp + bp  ==  w @ (h (Wv Wp)) + (bv Wp + bp)
+    # exactly — one whole (S,C)x(C,C) matmul and its HBM intermediate
+    # disappear per block, and the C^-1/2 logit scale folds into Wq.
+    # Mathematically exact, bf16-rounding-class drift only, checkpoint-
+    # compatible param tree (folds are built from the per-conv params at
+    # trace time);
     # 'fused' = the whole block (GN+q/k/v+attention+proj+
     # residual) as ONE Pallas kernel (ops/attn_block.py, single-head
     # d=C path) where its gate admits the shape. int8 nets keep the
@@ -236,6 +244,28 @@ class AttnBlock(nn.Module):
                                  num_heads=1, eps=1e-6)
             return y.reshape(B, H, W, C)
         h = GroupNorm32(dtype=self.dtype, name="norm")(x)
+        if self.attn_impl == "einsum_folded" and not self.quant:
+            kq, bq = _ConvHolder(C, (1, 1), name="q")(C)
+            kk, bk = _ConvHolder(C, (1, 1), name="k")(C)
+            kv, bv = _ConvHolder(C, (1, 1), name="v")(C)
+            kp, bp = _ConvHolder(C, (1, 1), name="proj_out")(C)
+            s = C ** -0.5
+            # folds are computed in fp32 from the fp32 params, then cast
+            w_qk = jnp.concatenate(
+                [kq.reshape(C, C) * s, kk.reshape(C, C)],
+                axis=1).astype(self.dtype)
+            b_qk = jnp.concatenate([bq * s, bk]).astype(self.dtype)
+            w_vp = (kv.reshape(C, C) @ kp.reshape(C, C)).astype(self.dtype)
+            b_vp = (bv @ kp.reshape(C, C) + bp).astype(self.dtype)
+            h2 = h.reshape(B, H * W, C)
+            q, k = jnp.split(h2 @ w_qk + b_qk, 2, axis=-1)
+            acc = jnp.float32 if self.softmax_f32 else self.dtype
+            logits = jnp.einsum("bqc,bkc->bqk", q, k,
+                                preferred_element_type=acc)
+            w = jax.nn.softmax(logits.astype(acc), axis=-1).astype(self.dtype)
+            hv = h2 @ w_vp
+            out = jnp.einsum("bqk,bkc->bqc", w, hv).reshape(B, H, W, C)
+            return x + out + b_vp
         if self.attn_impl == "einsum_merged" and not self.quant:
             kq, bq = _ConvHolder(C, (1, 1), name="q")(C)
             kk, bk = _ConvHolder(C, (1, 1), name="k")(C)

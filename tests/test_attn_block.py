@@ -141,3 +141,33 @@ def test_unet_small_einsum_merged_exact():
         ya = np.asarray(a.apply(pa, x, t), np.float32)
         yb = np.asarray(b.apply(pa, x, t), np.float32)
         np.testing.assert_array_equal(ya, yb)
+
+
+def test_unet_small_einsum_folded_close():
+    """attn_impl='einsum_folded' folds the v conv + proj_out into one (C,C)
+    matmul using softmax-rows-sum-to-1 and the logit scale into Wq —
+    mathematically exact, so it matches the einsum path to fp rounding
+    (tight in fp32, bf16-class in bf16). Param tree unchanged."""
+    from dxmi_tpu.models.unet_small import UNetSmall
+
+    for dt, rtol, atol in ((jnp.float32, 2e-5, 2e-5),
+                           (jnp.bfloat16, 3e-2, 3e-2)):
+        a = UNetSmall(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+                      attn_resolutions=(8,), dropout=0.0, in_channels=3,
+                      resolution=16, dtype=dt)
+        b = UNetSmall(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+                      attn_resolutions=(8,), dropout=0.0, in_channels=3,
+                      resolution=16, dtype=dt, attn_impl="einsum_folded")
+        x = jax.random.normal(jax.random.key(0), (2, 16, 16, 3))
+        t = jnp.array([3, 7])
+        pa = a.init(jax.random.key(1), x, t)
+        pb = b.init(jax.random.key(1), x, t)
+        assert jax.tree.structure(pa) == jax.tree.structure(pb)
+        # proj_out may be zero-init -> the v fold would vanish; perturb so
+        # the folded path is actually exercised
+        pa = jax.tree.map(
+            lambda a_: a_ + 0.02 * jax.random.normal(jax.random.key(2),
+                                                     a_.shape), pa)
+        ya = np.asarray(a.apply(pa, x, t), np.float32)
+        yb = np.asarray(b.apply(pa, x, t), np.float32)
+        np.testing.assert_allclose(ya, yb, rtol=rtol, atol=atol)
