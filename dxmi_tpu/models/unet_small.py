@@ -215,9 +215,13 @@ class AttnBlock(nn.Module):
     # trace time);
     # 'fused' = the whole block (GN+q/k/v+attention+proj+
     # residual) as ONE Pallas kernel (ops/attn_block.py, single-head
-    # d=C path) where its gate admits the shape. int8 nets keep the
-    # einsum path (the fused kernel runs its 1x1s in the compute dtype
-    # and would drop the QConv quant_scales from the param tree).
+    # d=C path) where its gate admits the shape; the fused kernel runs
+    # its 1x1s in the compute dtype so int8 nets keep einsum paths.
+    # Under quant='static', 'einsum_merged' runs the q/k/v projections
+    # as ONE W8A8 int8 (C,3C) matmul with a shared per-input-channel
+    # act_scale — numerically identical to three split int8 1x1 convs
+    # (same input => same calibrated scales); logits/AV einsums and the
+    # softmax stay in the compute dtype.
     attn_impl: str = "einsum"
 
     @nn.compact
@@ -266,15 +270,35 @@ class AttnBlock(nn.Module):
             hv = h2 @ w_vp
             out = jnp.einsum("bqk,bkc->bqc", w, hv).reshape(B, H, W, C)
             return x + out + b_vp
-        if self.attn_impl == "einsum_merged" and not self.quant:
+        if self.attn_impl == "einsum_merged" and self.quant in (False, "static"):
             kq, bq = _ConvHolder(C, (1, 1), name="q")(C)
             kk, bk = _ConvHolder(C, (1, 1), name="k")(C)
             kv, bv = _ConvHolder(C, (1, 1), name="v")(C)
             w_qkv = jnp.concatenate(
-                [kq.reshape(C, C), kk.reshape(C, C), kv.reshape(C, C)],
-                axis=1).astype(self.dtype)
-            b_qkv = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
-            qkv = h.reshape(B, H * W, C) @ w_qkv + b_qkv
+                [kq.reshape(C, C), kk.reshape(C, C), kv.reshape(C, C)], axis=1)
+            b_qkv = jnp.concatenate([bq, bk, bv])
+            h2 = h.reshape(B, H * W, C)
+            if self.quant == "static":
+                # W8A8 merged qkv: ONE int8 (C,3C) matmul. Shares one
+                # per-input-channel act_scale across q/k/v (same input),
+                # so numerics match three split int8 1x1 convs exactly.
+                from dxmi_tpu.ops.quant import (calib_channel_scale,
+                                                int8_matmul_static)
+                scale_var = self.variable(
+                    "quant_scales", "act_scale",
+                    lambda: jnp.zeros((C,), jnp.float32))
+                if self.is_mutable_collection("quant_scales"):
+                    scale_var.value = jnp.maximum(
+                        scale_var.value,
+                        calib_channel_scale(h2.reshape(-1, C)))
+                    qkv = (h2 @ w_qkv.astype(self.dtype)
+                           + b_qkv.astype(self.dtype))
+                else:
+                    qkv = int8_matmul_static(h2, w_qkv, b_qkv,
+                                             scale_var.value,
+                                             out_dtype=self.dtype)
+            else:
+                qkv = h2 @ w_qkv.astype(self.dtype) + b_qkv.astype(self.dtype)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
             q = _conv(self.quant, C, (1, 1), self.dtype, "q", padding=0)(h).reshape(B, H * W, C)

@@ -97,6 +97,42 @@ def int8_conv_static(x, kernel, bias, act_scale, strides=(1, 1),
     return out.astype(out_dtype)
 
 
+def int8_matmul_static(x: jnp.ndarray, w: jnp.ndarray, bias,
+                       act_scale: jnp.ndarray,
+                       out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """W8A8 matmul with calibrated per-input-channel activation scales:
+    ``x`` (..., C_in) @ ``w`` (C_in, C_out) accumulating int32 on the MXU.
+
+    Same math as :func:`int8_conv_static` for a 1x1 conv — the activation
+    scales fold into the kernel's input axis, weights are per-output-
+    channel symmetric int8. Used by the merged-qkv attention path
+    (models/unet_small.py AttnBlock 'einsum_merged' under quant='static')
+    so the q/k/v projections run as ONE int8 matmul."""
+    act_scale = jnp.asarray(act_scale, jnp.float32)
+    w = w.astype(jnp.float32) * act_scale[:, None]
+    k_i8, wscale = quantize_per_channel(w, axis=-1)     # wscale (1, C_out)
+    x_q = x.astype(jnp.float32) * (1.0 / act_scale)
+    x_i8 = jnp.clip(jnp.round(x_q), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_i8, k_i8, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * wscale.reshape((1,) * (x.ndim - 1) + (-1,))
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
+def calib_channel_scale(x2d: jnp.ndarray) -> jnp.ndarray:
+    """Per-input-channel activation scale from a calibration batch
+    ((N, C) |x| rows): CALIB_QUANTILE percentile / 127, floored."""
+    xf = jnp.abs(x2d.astype(jnp.float32))
+    if CALIB_QUANTILE >= 1.0:
+        amax = jnp.max(xf, axis=0)
+    else:
+        amax = jnp.quantile(xf, CALIB_QUANTILE, axis=0)
+    return jnp.maximum(amax / 127.0, 1e-8)
+
+
 class QConv(nn.Module):
     """Drop-in conv with the same parameter tree as nn.Conv ('kernel',
     'bias') that runs W8A8 on the MXU.

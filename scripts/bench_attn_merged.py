@@ -26,11 +26,13 @@ from dxmi_tpu.samplers.var import VARSampler
 def run(tag, net_kwargs=None, batch=96, nb=48):
     os.environ["DXMI_GN_STATS"] = "bf16_onepass"
     try:
-        net = UNetSmall(ch=128, out_ch=3, ch_mult=(1, 2, 2, 2),
-                        num_res_blocks=2, attn_resolutions=(16,), dropout=0.0,
-                        in_channels=3, resolution=32, dtype=jnp.bfloat16,
-                        softmax_f32=False, quant_int8="static",
-                        quant_skip_attn=True, **(net_kwargs or {}))
+        kw = dict(ch=128, out_ch=3, ch_mult=(1, 2, 2, 2),
+                  num_res_blocks=2, attn_resolutions=(16,), dropout=0.0,
+                  in_channels=3, resolution=32, dtype=jnp.bfloat16,
+                  softmax_f32=False, quant_int8="static",
+                  quant_skip_attn=True)
+        kw.update(net_kwargs or {})
+        net = UNetSmall(**kw)
         sampler = VARSampler(net, n_timesteps=10, sample_shape=(3, 32, 32),
                              trainable_beta="fix_last")
         params = sampler.init_params(jax.random.key(0))
@@ -78,6 +80,14 @@ def main():
     if on("folded_128x48"):
         run("einsum_folded 128x48", {"attn_impl": "einsum_folded"},
             batch=128, nb=48)
+    # int8-quantized merged qkv (+ int8 proj_out): quant_skip_attn OFF
+    if on("qmerged_96x48"):
+        run("int8 merged qkv 96x48",
+            {"attn_impl": "einsum_merged", "quant_skip_attn": False})
+    if on("qmerged_96x64"):
+        run("int8 merged qkv 96x64",
+            {"attn_impl": "einsum_merged", "quant_skip_attn": False},
+            batch=96, nb=64)
 
 
 if __name__ == "__main__":

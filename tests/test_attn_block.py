@@ -171,3 +171,37 @@ def test_unet_small_einsum_folded_close():
         ya = np.asarray(a.apply(pa, x, t), np.float32)
         yb = np.asarray(b.apply(pa, x, t), np.float32)
         np.testing.assert_allclose(ya, yb, rtol=rtol, atol=atol)
+
+
+def test_unet_small_einsum_merged_int8_matches_split():
+    """Under quant='static', attn_impl='einsum_merged' runs q/k/v as ONE
+    W8A8 int8 (C,3C) matmul with a shared per-input-channel act_scale.
+    Since split int8 QConvs see the same input (=> calibrate the same
+    scales) and weight quantization is per-output-channel either way, the
+    merged path must match the split path to fp-rounding."""
+    from dxmi_tpu.models.unet_small import UNetSmall
+
+    kw = dict(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+              attn_resolutions=(8,), dropout=0.0, in_channels=3,
+              resolution=16, dtype=jnp.float32, quant_int8="static",
+              quant_skip_attn=False)
+    a = UNetSmall(**kw)                               # split QConv q/k/v
+    b = UNetSmall(**kw, attn_impl="einsum_merged")    # one int8 matmul
+    x = jax.random.normal(jax.random.key(0), (2, 16, 16, 3))
+    t = jnp.array([3, 7])
+    va = a.init(jax.random.key(1), x, t)
+    vb = b.init(jax.random.key(1), x, t)
+    assert jax.tree.structure(va["params"]) == jax.tree.structure(
+        vb["params"])
+    # calibration pass (records act scales; forward stays full precision)
+    ya_cal, va_mut = a.apply({"params": va["params"]}, x, t,
+                             mutable=["quant_scales"])
+    yb_cal, vb_mut = b.apply({"params": va["params"]}, x, t,
+                             mutable=["quant_scales"])
+    np.testing.assert_allclose(np.asarray(ya_cal), np.asarray(yb_cal),
+                               rtol=1e-5, atol=1e-5)
+    # int8 inference: identical math modulo fp reassociation
+    ya = a.apply({"params": va["params"], **va_mut}, x, t)
+    yb = b.apply({"params": va["params"], **vb_mut}, x, t)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                               rtol=1e-5, atol=1e-5)
