@@ -52,11 +52,12 @@ def main():
     from dxmi_tpu.samplers.var import VARSampler
 
     # measured optimum on v5e (PERF.md batch sweep at the int8 point):
-    # batch 96 saturates; 96x48 and 96x64 tie. Params are closed over as
-    # jit CONSTANTS — the production bulk-generation shape (fixed
-    # checkpoint), which lets XLA pre-layout weights and fold casts.
+    # batch 96 saturates; 96x64 edges 96x48 (1968 vs 1967 merged). Params
+    # are closed over as jit CONSTANTS — the production bulk-generation
+    # shape (fixed checkpoint), which lets XLA pre-layout weights and
+    # fold casts.
     batch = 96
-    n_batches = 48
+    n_batches = 64
 
     net = UNetSmall(ch=128, out_ch=3, ch_mult=(1, 2, 2, 2), num_res_blocks=2,
                     attn_resolutions=(16,), dropout=0.0, in_channels=3,

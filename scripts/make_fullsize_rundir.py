@@ -18,6 +18,9 @@ import _bench_common  # noqa: F401
 
 import jax
 
+if os.environ.get("DXMI_PLATFORM"):   # e.g. cpu — don't claim the chip
+    jax.config.update("jax_platforms", os.environ["DXMI_PLATFORM"])
+
 from dxmi_tpu import config as cfglib
 from dxmi_tpu.config import instantiate
 from dxmi_tpu.utils.checkpoint import save_run_checkpoint
