@@ -124,15 +124,12 @@ def test_statistics_ddof():
     np.testing.assert_allclose(sig, np.cov(acts, rowvar=False))
 
 
-def test_build_cifar_train_stats_bootstrap(tmp_path, monkeypatch):
+def test_build_cifar_train_stats_bootstrap(tmp_path):
     """First-run dataset-stats bootstrap (reference computes fid_stats.pt
     on the first FID call, train_cifar10.py:360-364): raw CIFAR batches ->
     cached mu/sigma npz loadable as dataset stats."""
     import pickle
 
-    import jax
-
-    from dxmi_tpu.fid import inception as I
     from dxmi_tpu.fid import runner as R
 
     # tiny fake CIFAR batches (reader wants 5 train pickles)
@@ -145,10 +142,13 @@ def test_build_cifar_train_stats_bootstrap(tmp_path, monkeypatch):
         with open(base / f"data_batch_{i}", "wb") as f:
             pickle.dump(d, f)
 
-    monkeypatch.setattr(
-        I, "load_fid_inception_params",
-        lambda path: I.random_fid_inception_params(jax.random.key(0)))
-    out = R.build_cifar_train_stats("unused.npz", data_dir=str(tmp_path),
+    # real loader on a synthetic pt-layout weight file (no mocking —
+    # VERDICT r2: the BN-folding path must execute in tests)
+    from _inception_oracle import make_synthetic_state_dict
+
+    wpath = str(tmp_path / "fid_weights.npz")
+    np.savez(wpath, **make_synthetic_state_dict(seed=0, numpy=True))
+    out = R.build_cifar_train_stats(wpath, data_dir=str(tmp_path),
                                     out_path=str(tmp_path / "stats.npz"),
                                     batch=8)
     assert out is not None
