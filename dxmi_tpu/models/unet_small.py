@@ -88,9 +88,18 @@ class _GNParams(nn.Module):
     silu: bool
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from dxmi_tpu.ops.groupnorm import fused_group_norm
+    def __call__(self, x) -> jnp.ndarray:
+        from dxmi_tpu.ops.groupnorm import (fused_group_norm,
+                                            group_norm_silu_cat2_reference)
 
+        if isinstance(x, (tuple, list)):
+            # implicit-concat GN over two branches (split-concat decoder)
+            xa, xb = x
+            C = xa.shape[-1] + xb.shape[-1]
+            scale = self.param("scale", nn.initializers.ones, (C,))
+            bias = self.param("bias", nn.initializers.zeros, (C,))
+            return group_norm_silu_cat2_reference(
+                xa, xb, scale, bias, self.num_groups, self.eps, self.silu)
         C = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
@@ -148,6 +157,80 @@ class _ConvHolder(nn.Module):
         return k, b
 
 
+class SplitConv(nn.Module):
+    """Conv over the IMPLICIT concat of two inputs along channels.
+
+    ``conv(concat([xa, xb], -1), K) == conv(xa, K[:, :, :Ca]) +
+    conv(xb, K[:, :, Ca:])`` exactly in real arithmetic — the split runs
+    the same MACs without ever materializing the concatenated tensor
+    (the decoder's dominant non-conv HBM traffic; the reference
+    materializes torch.cat explicitly, unet_small.py:296-300).
+
+    Parameter tree ('kernel' (kh,kw,Ca+Cb,out), 'bias') and — under
+    ``quant='static'`` — the 'quant_scales/act_scale' (Ca+Cb,) variable
+    are identical to nn.Conv / ops.quant.QConv, so checkpoints and
+    calibrations transfer between skip_concat modes."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = 1
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+    quant: Any = False
+
+    @nn.compact
+    def __call__(self, xa: jnp.ndarray, xb: jnp.ndarray) -> jnp.ndarray:
+        from dxmi_tpu.ops.quant import (calib_channel_scale, int8_conv,
+                                        int8_conv_static)
+
+        Ca, Cb = xa.shape[-1], xb.shape[-1]
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, Ca + Cb, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+
+        def bf_conv(x, k):
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), k.astype(self.dtype), self.strides,
+                pad, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        ka, kb = kernel[:, :, :Ca], kernel[:, :, Ca:]
+        if self.quant == "static":
+            scale_var = self.variable(
+                "quant_scales", "act_scale",
+                lambda: jnp.zeros((Ca + Cb,), jnp.float32))
+            if self.is_mutable_collection("quant_scales"):
+                # calibration: per-input-channel ranges over both branches
+                # (same statistic the concat path records), fp forward
+                amax = jnp.concatenate(
+                    [calib_channel_scale(xa.reshape(-1, Ca)),
+                     calib_channel_scale(xb.reshape(-1, Cb))])
+                scale_var.value = jnp.maximum(scale_var.value, amax)
+                y = bf_conv(xa, ka) + bf_conv(xb, kb)
+            else:
+                s = scale_var.value
+                y = (int8_conv_static(xa, ka, None, s[:Ca], self.strides,
+                                      pad, out_dtype=jnp.float32)
+                     + int8_conv_static(xb, kb, None, s[Ca:], self.strides,
+                                        pad, out_dtype=jnp.float32)
+                     ).astype(self.dtype)
+        elif self.quant:
+            y = (int8_conv(xa, ka, None, self.strides, pad,
+                           out_dtype=jnp.float32)
+                 + int8_conv(xb, kb, None, self.strides, pad,
+                             out_dtype=jnp.float32)).astype(self.dtype)
+        else:
+            y = bf_conv(xa, ka) + bf_conv(xb, kb)
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class ResnetBlock(nn.Module):
     out_channels: int
     dropout: float = 0.0
@@ -157,8 +240,32 @@ class ResnetBlock(nn.Module):
     fuse_gn_conv: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, temb: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x, temb: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         from dxmi_tpu.ops.conv_fused import fused_gn_silu_conv
+
+        if isinstance(x, (tuple, list)):
+            # split-concat decoder input: GN + conv1 + nin_shortcut all run
+            # on the two branches directly; the concatenated tensor never
+            # exists (param tree identical to the concat path)
+            xa, xb = x
+            in_channels = xa.shape[-1] + xb.shape[-1]
+            assert in_channels != self.out_channels, \
+                "split-concat residual requires a nin_shortcut"
+            ha, hb = GroupNorm32(dtype=self.dtype, name="norm1")(
+                (xa, xb), silu=True)
+            h = SplitConv(self.out_channels, (3, 3), dtype=self.dtype,
+                          quant=self.quant, name="conv1")(ha, hb)
+            temb_proj = nn.Dense(self.out_channels, dtype=self.dtype,
+                                 name="temb_proj")(swish(temb))
+            h = h + temb_proj[:, None, None, :]
+            h = GroupNorm32(dtype=self.dtype, name="norm2")(h, silu=True)
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = _conv(self.quant, self.out_channels, (3, 3), self.dtype,
+                      "conv2")(h)
+            sc = SplitConv(self.out_channels, (1, 1), padding=0,
+                           dtype=self.dtype, quant=self.quant,
+                           name="nin_shortcut")(xa, xb)
+            return sc + h
 
         in_channels = x.shape[-1]
         fuse = self.fuse_gn_conv and not self.quant
@@ -379,6 +486,12 @@ class UNetSmall(nn.Module):
     fuse_gn_conv: bool = False
     # attention implementation: see AttnBlock.attn_impl
     attn_impl: str = 'einsum'
+    # decoder skip handling: 'concat' materializes jnp.concatenate([h,
+    # skip]) (reference semantics, unet_small.py:296-300); 'split' feeds
+    # the two branches through GN/conv1/nin_shortcut separately — same
+    # math (conv over an implicit concat distributes over the channel
+    # split), no concatenated tensor in HBM. Param tree identical.
+    skip_concat: str = 'concat'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
@@ -426,10 +539,12 @@ class UNetSmall(nn.Module):
             for i_block in range(self.num_res_blocks + 1):
                 blk_quant = (False if (self.quant_skip_last_level
                                        and i_level == 0) else self.quant_int8)
+                skip = hs.pop()
+                blk_in = ((h, skip) if self.skip_concat == "split"
+                          else jnp.concatenate([h, skip], axis=-1))
                 h = ResnetBlock(block_out, self.dropout, dtype=self.dtype, quant=blk_quant, fuse_gn_conv=self.fuse_gn_conv,
                                 name=f"up_{i_level}_block_{i_block}")(
-                    jnp.concatenate([h, hs.pop()], axis=-1), temb,
-                    deterministic=deterministic)
+                    blk_in, temb, deterministic=deterministic)
                 if curr_res in self.attn_resolutions:
                     h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=attn_quant, attn_impl=self.attn_impl,
                                   name=f"up_{i_level}_attn_{i_block}")(h)

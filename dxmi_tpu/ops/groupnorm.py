@@ -90,6 +90,70 @@ def group_norm_silu_reference(x, scale, bias, num_groups: int, eps: float,
     return y.reshape(x.shape).astype(orig_dtype)
 
 
+def group_norm_silu_cat2_reference(xa, xb, scale, bias, num_groups: int,
+                                   eps: float, silu: bool):
+    """GroupNorm(+SiLU) over the IMPLICIT concatenation of ``xa`` and
+    ``xb`` along channels, WITHOUT materializing the concat.
+
+    Statistics are exact: per-channel moment sums are computed per branch
+    (each branch is read directly from its producer's buffer), combined
+    into the (B, G) group statistics — identical math to
+    ``group_norm_silu_reference(concat([xa, xb], -1), ...)`` up to fp
+    reassociation of the channel-sum order. Returns the two normalized
+    branches separately so the consumer (a split conv, see
+    models/unet_small.py SplitConv) never needs the concatenated tensor.
+    This removes the skip-concat HBM materialization in the U-Net decoder
+    (reference reads/writes the concat three times per decoder block,
+    unet_small.py:296-300).
+
+    Honors the same DXMI_GN_STATS modes as the single-input form (the
+    spatial-subsample variants fall back to exact stats — they were
+    measured dead ends, PERF.md negative result #7)."""
+    mode = _gn_stats_mode()
+    if mode.endswith("_sub2") or mode.endswith("_sub4"):
+        mode = mode[:-5]
+    orig_dtype = xa.dtype
+    B = xa.shape[0]
+    Ca, Cb = xa.shape[-1], xb.shape[-1]
+    C = Ca + Cb
+    G = num_groups
+    gs = C // G
+    sdt = jnp.float32 if mode in ("fp32", "onepass") else xa.dtype
+
+    xfa = xa.astype(sdt).reshape(B, -1, Ca)
+    xfb = xb.astype(sdt).reshape(B, -1, Cb)
+    n = xfa.shape[1] * gs
+
+    s1 = jnp.concatenate([jnp.sum(xfa, 1, dtype=jnp.float32),
+                          jnp.sum(xfb, 1, dtype=jnp.float32)], -1)
+    mean_g = (s1.reshape(B, G, gs).sum(-1) / n).astype(sdt)      # (B, G)
+    mean_c = jnp.repeat(mean_g, gs, axis=-1)                     # (B, C)
+
+    if mode in ("onepass", "bf16_onepass"):
+        s2 = jnp.concatenate([jnp.sum(xfa * xfa, 1, dtype=jnp.float32),
+                              jnp.sum(xfb * xfb, 1, dtype=jnp.float32)], -1)
+        m = mean_g.astype(jnp.float32)
+        var_g = jnp.maximum(s2.reshape(B, G, gs).sum(-1) / n - m * m,
+                            0.0).astype(sdt)
+    else:
+        da = xfa - mean_c[:, None, :Ca]
+        db = xfb - mean_c[:, None, Ca:]
+        v = jnp.concatenate([jnp.sum(da * da, 1).astype(jnp.float32),
+                             jnp.sum(db * db, 1).astype(jnp.float32)], -1)
+        var_g = (v.reshape(B, G, gs).sum(-1) / n).astype(sdt)
+
+    rstd_c = jnp.repeat(jax.lax.rsqrt(var_g + eps), gs, axis=-1)  # (B, C)
+
+    def _apply(xf, lo, hi, shape):
+        y = (xf - mean_c[:, None, lo:hi]) * rstd_c[:, None, lo:hi]
+        y = y * scale[lo:hi].astype(sdt) + bias[lo:hi].astype(sdt)
+        if silu:
+            y = y * jax.nn.sigmoid(y)
+        return y.reshape(shape).astype(orig_dtype)
+
+    return _apply(xfa, 0, Ca, xa.shape), _apply(xfb, Ca, C, xb.shape)
+
+
 def _kernel(x_ref, scale_ref, bias_ref, mask_ref, out_ref, *, eps, silu, inv_n):
     # x_ref: (Bblk, HW, C); mask_ref: (C, G) one-hot group mask
     x = x_ref[:].astype(jnp.float32)

@@ -46,6 +46,15 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--pretrain_iters", type=int, default=1000,
                    help="DDPM eps-matching pretraining of the policy")
+    p.add_argument("--eval_every", type=int, default=0,
+                   help="evaluate mean true-pdf log-likelihood every N "
+                        "iters (8gaussians only); 0 = final only")
+    p.add_argument("--eval_n", type=int, default=2000)
+    p.add_argument("--curve_out", default="",
+                   help="write the (iter, loglik) curve to this JSON")
+    p.add_argument("--pretrain_cache", default="",
+                   help="msgpack path: load the pretrained policy if "
+                        "present, else pretrain and save it there")
     p.add_argument("--out", default="results/2d")
     args = p.parse_args()
 
@@ -71,7 +80,15 @@ def main():
     # ---- DDPM pretraining of the policy (DxMI fine-tunes a pretrained
     # sampler; for 2D we pretrain in-process with simple eps-matching on
     # the sampler's own q-process) ----
-    if args.pretrain_iters > 0:
+    cache_hit = False
+    if args.pretrain_cache and os.path.exists(args.pretrain_cache):
+        import flax.serialization as fser
+
+        with open(args.pretrain_cache, "rb") as f:
+            sp["net"] = fser.from_bytes(sp["net"], f.read())
+        cache_hit = True
+        print(f"pretrained policy loaded from {args.pretrain_cache}")
+    if args.pretrain_iters > 0 and not cache_hit:
         import optax
 
         sch = sampler.schedule
@@ -101,9 +118,35 @@ def main():
             key, k = jax.random.split(key)
             sp["net"], ost, loss = pre_update(sp["net"], ost, x0, k)
         print(f"pretrain done, eps-loss {float(loss):.4f}")
+        if args.pretrain_cache:
+            import flax.serialization as fser
+
+            os.makedirs(os.path.dirname(args.pretrain_cache) or ".",
+                        exist_ok=True)
+            with open(args.pretrain_cache, "wb") as f:
+                f.write(fser.to_bytes(sp["net"]))
+            print(f"pretrained policy saved to {args.pretrain_cache}")
 
     state = trainer.init_state(sp, vp)
     sample_fn = jax.jit(lambda p, k: sampler.sample(p, k, args.batchsize))
+
+    # true-pdf likelihood eval (the training-convergence evidence: the
+    # reference's image loop drives FID down and gates best checkpoints,
+    # train_cifar10.py:386-442; the 2D analogue is exact likelihood)
+    eval_sample = jax.jit(lambda p, k: sampler.sample(p, k, args.eval_n))
+    ekey = jax.random.key(args.seed + 12345)
+
+    def eval_ll(params, i):
+        d = eval_sample(params, jax.random.fold_in(ekey, i))
+        s = np.asarray(d["sample"])
+        return float(np.log(pdf_8gaussian(s) + 1e-12).mean())
+
+    curve = []
+    do_eval = args.eval_every > 0 and args.data == "8gaussians"
+    if do_eval:
+        ll0 = eval_ll(state.sampler_params, 0)
+        curve.append({"iter": 0, "loglik": ll0})
+        print(f"iter 0 (post-pretrain) loglik={ll0:.4f}")
 
     for i_iter in range(args.n_iter):
         x_data = jnp.asarray(sample2d(args.data, args.batchsize, rng))
@@ -115,6 +158,10 @@ def main():
         if i_iter % 200 == 0:
             print(f"iter {i_iter} d_loss={float(m1['ebm/d_loss_']):.4f} "
                   f"sampler_loss={float(m2['sampler/sampler_loss_']):.4f}")
+        if do_eval and (i_iter + 1) % args.eval_every == 0:
+            ll = eval_ll(state.sampler_params, i_iter + 1)
+            curve.append({"iter": i_iter + 1, "loglik": ll})
+            print(f"iter {i_iter + 1} loglik={ll:.4f}")
 
     # ---- evaluation: mean log-likelihood of samples under the true pdf ----
     key, ek = jax.random.split(key)
@@ -125,6 +172,13 @@ def main():
     if args.data == "8gaussians":
         ll = float(np.log(pdf_8gaussian(samples) + 1e-12).mean())
         print(f"mean log-likelihood under true pdf: {ll:.4f}")
+    if args.curve_out and curve:
+        import json
+
+        os.makedirs(os.path.dirname(args.curve_out) or ".", exist_ok=True)
+        with open(args.curve_out, "w") as f:
+            json.dump({"config": vars(args), "curve": curve}, f, indent=1)
+        print(f"curve saved to {args.curve_out}")
     print(f"samples saved to {args.out}")
 
 
