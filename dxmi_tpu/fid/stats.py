@@ -24,6 +24,36 @@ def activation_statistics(acts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return mu, sigma
 
 
+def sharded_moments(acts_global) -> Tuple[int, np.ndarray, np.ndarray]:
+    """Global activation moment sums from a (possibly cross-process)
+    data-sharded jax.Array (N, D): returns (n, s1 (D,), s2 (D, D)) on
+    host, replicated — XLA/GSPMD inserts the cross-device reductions
+    (the TPU-native replacement for the reference's per-rank all_gather
+    FID flow, /root/reference/train_image_large.py:50-69: instead of
+    gathering raw activations to rank 0, only the O(D^2) moment sums
+    cross the ICI)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def mom(a):
+        a32 = a.astype(jnp.float32)
+        return a32.sum(0), a32.T @ a32
+
+    s1, s2 = mom(acts_global)
+    return (int(acts_global.shape[0]), np.asarray(s1, np.float64),
+            np.asarray(s2, np.float64))
+
+
+def stats_from_moments(n: int, s1: np.ndarray,
+                       s2: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(n, Σx, Σxxᵀ) -> (mu, ddof=1 covariance), matching
+    activation_statistics up to the one-pass reassociation."""
+    mu = s1 / n
+    sigma = (s2 - n * np.outer(mu, mu)) / (n - 1)
+    return mu, sigma
+
+
 def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6,
                      method: str = "auto") -> float:
     """Frechet distance between two Gaussians (fid_score.py:224-278).

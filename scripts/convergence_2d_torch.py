@@ -107,6 +107,21 @@ class TorchValueMLP(nn.Module):
         return self.out(h)
 
 
+def flax_init_(module: nn.Module, seed: int):
+    """Re-initialize all Linears to flax Dense defaults (lecun_normal
+    kernel, zero bias) so the torch value net starts from the same
+    distribution as dxmi_tpu's ValueMLP — adversarial training dynamics
+    are init-sensitive, and torch's kaiming_uniform default differs."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for m in module.modules():
+            if isinstance(m, nn.Linear):
+                fan_in = m.weight.shape[1]
+                m.weight.copy_(torch.randn(m.weight.shape, generator=g)
+                               * (1.0 / fan_in) ** 0.5)
+                m.bias.zero_()
+
+
 def load_jax_pretrain(net: TorchEpsMLP, path: str):
     """Load the msgpack net params written by train_2d.py --pretrain_cache."""
     from flax.serialization import msgpack_restore
@@ -137,6 +152,9 @@ def main():
     p.add_argument("--eval_n", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--curve_out", default="/tmp/curve_torch.json")
+    p.add_argument("--flax_init", action="store_true",
+                   help="initialize the value net from flax Dense "
+                        "defaults (lecun_normal, zero bias)")
     args = p.parse_args()
 
     torch.manual_seed(args.seed)
@@ -155,6 +173,8 @@ def main():
     sampler = VARSampler(net, args.n_timesteps, (2, 1, 1),
                          trainable_beta="fix_last")
     value = TorchValueMLP()
+    if args.flax_init:
+        flax_init_(value, args.seed + 777)
 
     optimizer = torch.optim.Adam([
         {"params": [q for n, q in net.named_parameters()

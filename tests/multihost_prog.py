@@ -93,7 +93,62 @@ def run_step():
     return metrics, checksum
 
 
-def worker_main(process_id: int, num_processes: int, port: int, out: str):
+def run_fid():
+    """Multi-process generation + sharded FID statistics (reference flow:
+    per-rank generation -> all_gather stats, /root/reference/
+    train_image_large.py:39-88). Each process generates its OWN batch
+    (key folded by rank), features are assembled into a globally
+    data-sharded activation array, and the FID moments cross processes
+    as GSPMD reductions (fid/stats.sharded_moments). Must equal the
+    single-process oracle computing the same ranks' batches serially."""
+    import jax
+    import jax.numpy as jnp
+
+    from dxmi_tpu.fid import stats as stats_lib
+    from dxmi_tpu.models.unet_small import UNetSmall
+    from dxmi_tpu.parallel import create_mesh, global_batch, sync_hosts
+    from dxmi_tpu.samplers.var import VARSampler
+
+    mesh = create_mesh()
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    n_ranks = 2  # fixed logical rank count so single/multi agree
+
+    net = UNetSmall(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+                    attn_resolutions=(8,), dropout=0.0, in_channels=3,
+                    resolution=RES)
+    sampler = VARSampler(net, n_timesteps=T, sample_shape=(3, RES, RES),
+                         trainable_beta="fix_last")
+    sp = sampler.init_params(jax.random.key(SEED))
+    key = jax.random.key(SEED + 1)
+    gen = jax.jit(lambda p, k: sampler.sample(p, k, B)["sample"])
+
+    def rank_acts(rank):
+        x = gen(sp, jax.random.fold_in(key, rank))          # (B, H, W, C)
+        return np.asarray(x, np.float32).reshape(B, -1)     # features
+
+    if n_proc == 1:
+        acts = np.concatenate([rank_acts(r) for r in range(n_ranks)])
+        acts_global = jnp.asarray(acts)
+    else:
+        assert n_proc == n_ranks
+        acts_global = global_batch(mesh, rank_acts(pid))
+        sync_hosts("test_multihost_fid")
+
+    n, s1, s2 = stats_lib.sharded_moments(acts_global)
+    mu, sigma = stats_lib.stats_from_moments(n, s1, s2)
+
+    # fixed comparison stats: seed-deterministic gaussian cloud
+    rng = np.random.default_rng(SEED + 7)
+    ref = rng.normal(size=(4 * B, mu.shape[0])).astype(np.float64)
+    m2, c2 = stats_lib.activation_statistics(ref)
+    fid = stats_lib.frechet_distance(mu, sigma, m2, c2)
+    return {"fid": float(fid), "mu0": float(mu[0]),
+            "tr_sigma": float(np.trace(sigma))}
+
+
+def worker_main(process_id: int, num_processes: int, port: int, out: str,
+                mode: str = "step"):
     """Entry for a spawned multi-host worker (CPU backend, 4 local devices)."""
     import json
     import os
@@ -110,10 +165,14 @@ def worker_main(process_id: int, num_processes: int, port: int, out: str):
                                process_id=process_id)
     assert jax.process_count() == num_processes
     assert jax.device_count() == 4 * num_processes
-    metrics, checksum = run_step()
+    if mode == "fid":
+        payload = {"metrics": run_fid()}
+    else:
+        metrics, checksum = run_step()
+        payload = {"metrics": metrics, "checksum": checksum}
     if jax.process_index() == 0:
         with open(out, "w") as fh:
-            json.dump({"metrics": metrics, "checksum": checksum}, fh)
+            json.dump(payload, fh)
     jax.distributed.shutdown()
 
 
@@ -124,4 +183,4 @@ if __name__ == "__main__":
     sys.path.insert(0, _os.path.dirname(_os.path.dirname(
         _os.path.abspath(__file__))))
     worker_main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]),
-                sys.argv[4])
+                sys.argv[4], sys.argv[5] if len(sys.argv) > 5 else "step")
