@@ -329,6 +329,11 @@ class AttnBlock(nn.Module):
     # act_scale — numerically identical to three split int8 1x1 convs
     # (same input => same calibrated scales); logits/AV einsums and the
     # softmax stay in the compute dtype.
+    # NOTE: the PARAMS tree is identical across attn_impl values, but the
+    # calibrated 'quant_scales' collection is NOT transferable between
+    # them (einsum_merged stores one block-level act_scale where the
+    # split path stores per-QConv q/k/v scales) — recalibrate after
+    # switching attn_impl.
     attn_impl: str = "einsum"
 
     @nn.compact

@@ -174,15 +174,11 @@ class QConv(nn.Module):
             if self.is_mutable_collection("quant_scales"):
                 # calibration pass: record PER-INPUT-CHANNEL ranges
                 # (fold into the kernel at inference), run full precision.
-                # CALIB_QUANTILE < 1.0 clips range outliers (Q-Diffusion-
-                # style percentile calibration).
-                xf = jnp.abs(x.astype(jnp.float32)).reshape(-1, x.shape[-1])
-                if CALIB_QUANTILE >= 1.0:
-                    amax = jnp.max(xf, axis=0)
-                else:
-                    amax = jnp.quantile(xf, CALIB_QUANTILE, axis=0)
-                scale_var.value = jnp.maximum(scale_var.value,
-                                              jnp.maximum(amax / 127.0, 1e-8))
+                # Range statistic: calib_channel_scale (CALIB_QUANTILE
+                # percentile, Q-Diffusion-style outlier clipping).
+                scale_var.value = jnp.maximum(
+                    scale_var.value,
+                    calib_channel_scale(x.reshape(-1, x.shape[-1])))
                 y = jax.lax.conv_general_dilated(
                     x.astype(self.dtype), kernel.astype(self.dtype),
                     self.strides, pad,

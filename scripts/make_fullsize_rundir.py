@@ -8,10 +8,13 @@ run-dir contract (config.yaml + sampler_best.msgpack) at the REAL model
 size from configs/cifar10/T10.yaml; generation rehearsal then exercises
 the true 50k compute + IO envelope end-to-end.
 
-Usage: python scripts/make_fullsize_rundir.py <out_dir> [--int8-attn-impl]
+Usage: python scripts/make_fullsize_rundir.py <out_dir>
 """
 import os
 import sys
+
+if len(sys.argv) < 2:
+    sys.exit("usage: python scripts/make_fullsize_rundir.py <out_dir>")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import _bench_common  # noqa: F401

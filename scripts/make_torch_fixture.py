@@ -65,7 +65,10 @@ from models.modules import IGEBMEncoderV2  # noqa: E402
 from models.value import TimeIndependentValue  # noqa: E402
 
 T, RES, CH, NH, B = 10, 16, 32, 32, 32
-N_ITERS = 150
+# round-2 fixture was 150 steps; VERDICT r2 weak #4 asks for a
+# few-thousand-step fixture so the int8/fused-attn quality gates run on
+# weights with non-toy statistics
+N_ITERS = int(os.environ.get("DXMI_FIXTURE_ITERS", "3000"))
 SEED = 7
 
 
@@ -129,7 +132,10 @@ def main():
         append_buffer(state_dict, d_sample)
         d_energy = trainer.update_f_v(images, d_sample, state_dict)
         d_gen = trainer.update_sampler(state_dict, n_generator=1)
-        if it % 20 == 0 or it == N_ITERS - 1:
+        # reference resets the buffer after every sampler update
+        # (train_cifar10.py:193, n_critic=1)
+        state_dict = reset_buffer("cpu")
+        if it % 200 == 0 or it == N_ITERS - 1:
             print(f"iter {it:4d}  v_loss={d_energy.get("ebm/v_loss_", float("nan")):.4f} "
                   f"sampler_loss={d_gen.get("sampler/sampler_loss_", float("nan")):.4f}",
                   flush=True)
