@@ -72,23 +72,32 @@ def main():
     params = sampler.calibrate_quant(params, jax.random.key(3),
                                      n_sample=8, n_rounds=1)
 
-    gen = jax.jit(lambda k: sample_many(sampler, params, k, n_batches, batch))
+    def prog(k):
+        out = sample_many(sampler, params, k, n_batches, batch)
+        # scalar witness: fetching it to host closes the timing window
+        # honestly (PERF.md round-3 window hardening — block_until_ready
+        # was verified NOT to return early here, 1969.9 vs 1969.6, but
+        # the fetch makes the number unimpeachable by construction)
+        return out, out[0, 0, 0, 0, 0].astype(jnp.float32)
+
+    gen = jax.jit(prog)
 
     # warmup / compile, then a discarded window: steady-state throughput
     # arrives ~5 dispatches in (clock/pipeline ramp; PERF.md methodology)
     key = jax.random.key(1)
-    jax.block_until_ready(gen(key))
+    out, scal = gen(key)
+    float(scal)
     for i in range(4):
-        out = gen(jax.random.key(2 + i))
-    jax.block_until_ready(out)
+        out, scal = gen(jax.random.key(2 + i))
+    float(scal)
 
-    reps = 3
+    reps = 8  # r3: the longer window amortizes the close (+0.2%)
     rep_keys = [jax.random.fold_in(key, 100 + i) for i in range(reps)]
     jax.block_until_ready(rep_keys)
     t0 = time.perf_counter()
     for k in rep_keys:
-        out = gen(k)
-    jax.block_until_ready(out)
+        out, scal = gen(k)
+    float(scal)  # host fetch of the witness closes the window
     dt = time.perf_counter() - t0
 
     images_per_sec = batch * n_batches * reps / dt

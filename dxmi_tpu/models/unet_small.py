@@ -335,6 +335,21 @@ class AttnBlock(nn.Module):
     # split path stores per-QConv q/k/v scales) — recalibrate after
     # switching attn_impl.
     attn_impl: str = "einsum"
+    # skip the max-subtraction pass of the softmax: rows normalize
+    # exp(l)/sum(exp(l)) directly — identical in exact arithmetic (the
+    # max-shift is a mathematical no-op), saves one full traversal of
+    # the (B,S,S) logits per block. Safe while |logits| stays well under
+    # exp overflow (~88; the C^-0.5 scale keeps trained logits O(10)).
+    # Quality-gated opt-in like every numerics-class lever (PERF.md).
+    softmax_nomax: bool = False
+
+    def _softmax(self, logits, acc):
+        if self.softmax_nomax:
+            e = jnp.exp(logits.astype(acc))
+            return (e / jnp.sum(e, axis=-1, keepdims=True,
+                                dtype=jnp.float32).astype(acc)
+                    ).astype(self.dtype)
+        return jax.nn.softmax(logits.astype(acc), axis=-1).astype(self.dtype)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -378,7 +393,7 @@ class AttnBlock(nn.Module):
             acc = jnp.float32 if self.softmax_f32 else self.dtype
             logits = jnp.einsum("bqc,bkc->bqk", q, k,
                                 preferred_element_type=acc)
-            w = jax.nn.softmax(logits.astype(acc), axis=-1).astype(self.dtype)
+            w = self._softmax(logits, acc)
             hv = h2 @ w_vp
             out = jnp.einsum("bqk,bkc->bqc", w, hv).reshape(B, H, W, C)
             return x + out + b_vp
@@ -421,7 +436,7 @@ class AttnBlock(nn.Module):
         acc = jnp.float32 if self.softmax_f32 else self.dtype
         logits = jnp.einsum("bqc,bkc->bqk", q, k,
                             preferred_element_type=acc) * scale
-        w = jax.nn.softmax(logits.astype(acc), axis=-1).astype(self.dtype)
+        w = self._softmax(logits, acc)
         h = jnp.einsum("bqk,bkc->bqc", w, v).reshape(B, H, W, C)
         h = _conv(self.quant, C, (1, 1), self.dtype, "proj_out", padding=0)(h)
         return x + h
@@ -477,6 +492,8 @@ class UNetSmall(nn.Module):
     resolution: int = 32
     dtype: jnp.dtype = jnp.float32
     softmax_f32: bool = True
+    # see AttnBlock.softmax_nomax (exact-math, quality-gated opt-in)
+    softmax_nomax: bool = False
     # int8 (W8A8) sampling mode: all interior convs run on the int8 MXU
     # path (2x peak); conv_in/conv_out stay high precision. Inference-only
     # accuracy/perf trade — see PERF.md roofline and dxmi_tpu/ops/quant.py.
@@ -522,7 +539,7 @@ class UNetSmall(nn.Module):
                                 name=f"down_{i_level}_block_{i_block}")(
                     hs[-1], temb, deterministic=deterministic)
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=attn_quant, attn_impl=self.attn_impl,
+                    h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=attn_quant, attn_impl=self.attn_impl, softmax_nomax=self.softmax_nomax,
                                   name=f"down_{i_level}_attn_{i_block}")(h)
                 hs.append(h)
             if i_level != num_resolutions - 1:
@@ -534,7 +551,7 @@ class UNetSmall(nn.Module):
         h = hs[-1]
         h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype, quant=self.quant_int8, fuse_gn_conv=self.fuse_gn_conv,
                         name="mid_block_1")(h, temb, deterministic=deterministic)
-        h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=attn_quant, attn_impl=self.attn_impl, name="mid_attn_1")(h)
+        h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=attn_quant, attn_impl=self.attn_impl, softmax_nomax=self.softmax_nomax, name="mid_attn_1")(h)
         h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype, quant=self.quant_int8, fuse_gn_conv=self.fuse_gn_conv,
                         name="mid_block_2")(h, temb, deterministic=deterministic)
 
@@ -551,7 +568,7 @@ class UNetSmall(nn.Module):
                                 name=f"up_{i_level}_block_{i_block}")(
                     blk_in, temb, deterministic=deterministic)
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=attn_quant, attn_impl=self.attn_impl,
+                    h = AttnBlock(dtype=self.dtype, softmax_f32=self.softmax_f32, quant=attn_quant, attn_impl=self.attn_impl, softmax_nomax=self.softmax_nomax,
                                   name=f"up_{i_level}_attn_{i_block}")(h)
             if i_level != 0:
                 h = Upsample(self.resamp_with_conv, dtype=self.dtype, quant=self.quant_int8,

@@ -11,6 +11,8 @@ Variants:
   vmem96        — + --xla_tpu_scoped_vmem_limit_kib=98304
   vmem128       — + --xla_tpu_scoped_vmem_limit_kib=131072
   big           — int8 bench path, reps=8, nb=128 (bigger honest window)
+  nomax         — int8 bench path + softmax_nomax (exp/sum, no max pass)
+  nomax_big     — nomax with the reps=8 window
 """
 import os
 import sys
@@ -38,8 +40,10 @@ def main():
 
     bf16 = VARIANT.startswith("bf16")
     kw = {} if bf16 else dict(quant_int8="static", quant_skip_attn=True)
+    if VARIANT.startswith("nomax"):
+        kw["softmax_nomax"] = True
     skip = "split" if VARIANT.endswith("split") else "concat"
-    reps, nb = (8, 128) if VARIANT == "big" else (3, 64)
+    reps, nb = (8, 128) if VARIANT.endswith("big") else (3, 64)
 
     net = UNetSmall(ch=128, out_ch=3, ch_mult=(1, 2, 2, 2),
                     num_res_blocks=2, attn_resolutions=(16,), dropout=0.0,

@@ -32,10 +32,26 @@ from dxmi_tpu.utils.checkpoint import save_run_checkpoint
 def main():
     out = sys.argv[1]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    cfg = cfglib.merge(
-        cfglib.load_yaml(os.path.join(repo, "configs/cifar10/T10.yaml")),
-        cfglib.load_yaml(os.path.join(repo, "configs/cifar10/cifar10.yaml")),
-    )
+    # optional config override: any of the shipped experiment configs
+    # (e.g. configs/lsun/T10.yaml for the 526M 256^2 rehearsal)
+    cfg_path = sys.argv[2] if len(sys.argv) > 2 else "configs/cifar10/T10.yaml"
+    parts = [cfglib.load_yaml(os.path.join(repo, cfg_path))]
+    if "cifar10" in cfg_path:
+        parts.append(cfglib.load_yaml(
+            os.path.join(repo, "configs/cifar10/cifar10.yaml")))
+    cfg = cfglib.merge(*parts)
+    if "diffusion" in cfg:  # EDM/ADM-family config (image_large entries)
+        sys.path.insert(0, repo)
+        from train_image_large import build_sampler
+
+        sampler, params = build_sampler(cfg, jax.random.key(0))
+        os.makedirs(out, exist_ok=True)
+        cfglib.save_yaml(cfg, os.path.join(out, "config.yaml"))
+        save_run_checkpoint(out, "best", sampler_params=params,
+                            meta={"fid": float("inf"), "i_iter": 0,
+                                  "note": "random init, rehearsal only"})
+        print(f"run dir ready: {out}")
+        return
     net = instantiate(cfg["sampler_net"])
     sampler = instantiate(cfg["sampler"], net=net)
     params = sampler.init_params(jax.random.key(0))

@@ -205,3 +205,26 @@ def test_unet_small_einsum_merged_int8_matches_split():
     yb = b.apply({"params": va["params"], **vb_mut}, x, t)
     np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_unet_small_softmax_nomax_close():
+    """exp(l)/sum(exp(l)) without the max shift is the identical function
+    in exact arithmetic; fp32 drift is rounding-class (the logit scale
+    C^-0.5 keeps |l| far from exp overflow)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dxmi_tpu.models.unet_small import UNetSmall
+
+    kw = dict(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+              attn_resolutions=(8, 16), dropout=0.0, in_channels=3,
+              resolution=16, dtype=jnp.float32)
+    net_a = UNetSmall(**kw)
+    net_b = UNetSmall(**kw, softmax_nomax=True)
+    x = jax.random.normal(jax.random.key(0), (2, 16, 16, 3))
+    t = jnp.array([1, 5])
+    params = net_a.init(jax.random.key(1), x, t)["params"]
+    ya = np.asarray(net_a.apply({"params": params}, x, t))
+    yb = np.asarray(net_b.apply({"params": params}, x, t))
+    np.testing.assert_allclose(yb, ya, rtol=1e-4, atol=1e-5)
