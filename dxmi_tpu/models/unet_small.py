@@ -460,17 +460,61 @@ class Downsample(nn.Module):
 
 
 class Upsample(nn.Module):
+    """Nearest-x2 upsample followed by a 3x3 conv (reference
+    unet_small.py:51-66).
+
+    ``up_impl='phase'`` computes the SAME function without ever
+    materializing the 4x-inflated intermediate: since
+    ``u[2i+a, 2j+b] = x[i, j]``, each output phase (a, b) of
+    ``conv3x3(nearest_up2(x))`` touches only a 2x2 neighborhood of x
+    with phase-specific tap sums —
+
+        a=0 rows: offsets {-1, 0} with taps [W0, W1+W2]
+        a=1 rows: offsets {0, +1} with taps [W0+W1, W2]
+
+    (same along columns), so the whole op is FOUR dense 2x2 convs on
+    the SMALL grid + a pixel-shuffle interleave: 16*H*W*C^2 MACs vs the
+    resize path's 36, and the (2H, 2W, C) nearest-resize tensor never
+    hits HBM. Exact in real arithmetic (fp reassociation of the tap
+    sums only); zero-padding on the upsampled grid maps exactly to
+    zero-padding on x. Param tree identical to the resize path
+    (conv/{kernel,bias}); under quant='static' the calibrated
+    act_scale transfers exactly (nearest-repeat preserves per-channel
+    quantiles) but is stored module-level like the merged-qkv path —
+    recalibrate when switching up_impl."""
+
     with_conv: bool = True
     dtype: jnp.dtype = jnp.float32
     quant: bool = False
+    up_impl: str = "resize"  # 'resize' | 'phase'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, H, W, C = x.shape
+        if self.with_conv and self.up_impl == "phase":
+            return self._phase(x)
         x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
         if self.with_conv:
             x = _conv(self.quant, C, (3, 3), self.dtype, "conv")(x)
         return x
+
+    def _phase(self, x: jnp.ndarray) -> jnp.ndarray:
+        from dxmi_tpu.ops.phase_up import conv3x3_nearest_up2
+        from dxmi_tpu.ops.quant import calib_channel_scale
+
+        B, H, W, C = x.shape
+        k, b = _ConvHolder(C, (3, 3), name="conv")(C)
+
+        act_scale = None
+        if self.quant == "static":
+            scale_var = self.variable("quant_scales", "act_scale",
+                                      lambda: jnp.zeros((C,), jnp.float32))
+            if self.is_mutable_collection("quant_scales"):
+                scale_var.value = jnp.maximum(
+                    scale_var.value, calib_channel_scale(x.reshape(-1, C)))
+            else:
+                act_scale = scale_var.value
+        return conv3x3_nearest_up2(x, k, b, self.dtype, act_scale)
 
 
 class UNetSmall(nn.Module):
@@ -514,6 +558,10 @@ class UNetSmall(nn.Module):
     # math (conv over an implicit concat distributes over the channel
     # split), no concatenated tensor in HBM. Param tree identical.
     skip_concat: str = 'concat'
+    # decoder upsample implementation: see Upsample.up_impl ('resize'
+    # reference semantics | 'phase' = 4 dense 2x2 convs on the small
+    # grid + pixel shuffle, 2.25x fewer MACs, no 4x intermediate)
+    up_impl: str = 'resize'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
@@ -572,6 +620,7 @@ class UNetSmall(nn.Module):
                                   name=f"up_{i_level}_attn_{i_block}")(h)
             if i_level != 0:
                 h = Upsample(self.resamp_with_conv, dtype=self.dtype, quant=self.quant_int8,
+                             up_impl=self.up_impl,
                              name=f"up_{i_level}_upsample")(h)
                 curr_res *= 2
         assert not hs

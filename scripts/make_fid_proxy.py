@@ -31,7 +31,10 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=128,
-                   help="training batchsize (sets fake-data size)")
+                   help="training batchsize (sets the minimum fake-data size)")
+    p.add_argument("--n", type=int, default=4096,
+                   help="stats-set size (same synthetic distribution as "
+                        "the --fake_data trainer)")
     p.add_argument("--seed", type=int, default=112233)
     p.add_argument("--extract_batch", type=int, default=64)
     args = p.parse_args()
@@ -49,8 +52,9 @@ def main():
         np.savez(wpath, **make_synthetic_state_dict(seed=0, numpy=True))
         print(f"synthetic Inception weights -> {wpath}")
 
-    # stats over the SAME fake dataset train_cifar10 --fake_data uses
-    ds = fake_cifar(max(args.batch * 4, 256), args.seed)
+    # stats over the SAME synthetic distribution train_cifar10 --fake_data
+    # draws from (fake_cifar structured generator, same seed)
+    ds = fake_cifar(max(args.n, args.batch * 4, 256), args.seed)
     model = InceptionV3FID()
     params = load_fid_inception_params(wpath)
     extract = jax.jit(lambda x: model.apply({"params": params}, x))

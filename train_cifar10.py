@@ -128,6 +128,10 @@ def main():
                         help="cap total train steps (smoke runs)")
     parser.add_argument("--fake_data", action="store_true",
                         help="use a synthetic dataset stand-in")
+    parser.add_argument("--fake_data_size", type=int, default=None,
+                        help="synthetic dataset size (default 4x batch); "
+                             "larger values give longer epochs, fewer "
+                             "epoch-boundary checkpoints/grids")
     parser.add_argument("--resume", action="store_true",
                         help="resume params+optimizer state from the run dir")
     parser.add_argument("--wandb", action="store_true",
@@ -170,8 +174,9 @@ def main():
 
     # data
     if args.fake_data:
-        train_set = fake_cifar(max(batchsize * 4, 256), seed)
-        print0("using fake data stand-in")
+        n_fake = args.fake_data_size or max(batchsize * 4, 256)
+        train_set = fake_cifar(n_fake, seed)
+        print0(f"using fake data stand-in ({n_fake} images)")
     else:
         train_set = get_dataset(cfg["data"]["name"], cfg["data"]["data_dir"])
     loader = EpochLoader(train_set, batch_size=batchsize // jax.process_count(),
