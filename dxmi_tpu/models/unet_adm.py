@@ -86,6 +86,11 @@ class ResBlockADM(nn.Module):
     down: bool = False
     dtype: jnp.dtype = jnp.float32
     quant: object = False
+    # 'phase' computes the up-block's conv3x3(nearest_up2(.)) via the
+    # phase decomposition (ops/phase_up.py: 2.25x fewer MACs, no 4x
+    # intermediate) and runs skip_connection on the SMALL grid
+    # (conv1x1 commutes with nearest-up exactly). Param tree identical.
+    up_impl: str = "resize"
 
     def _conv3(self, name, kernel_init=None):
         if self.quant:
@@ -104,13 +109,41 @@ class ResBlockADM(nn.Module):
     def __call__(self, x, emb, *, deterministic: bool = True):
         in_ch = x.shape[-1]
         h = GroupNormADM(dtype=self.dtype, name="in_layers_0")(x, silu=True)
-        if self.up:
-            h = _upsample2x(h)
+        skip_done = False
+        if self.up and self.up_impl == "phase":
+            from dxmi_tpu.models.unet_small import _ConvHolder
+            from dxmi_tpu.ops.phase_up import conv3x3_nearest_up2
+            from dxmi_tpu.ops.quant import calib_channel_scale
+
+            k, b = _ConvHolder(self.out_channels, (3, 3),
+                               name="in_layers_2")(in_ch)
+            act_scale = None
+            if self.quant == "static":
+                scale_var = self.variable(
+                    "quant_scales", "act_scale",
+                    lambda: jnp.zeros((in_ch,), jnp.float32))
+                if self.is_mutable_collection("quant_scales"):
+                    scale_var.value = jnp.maximum(
+                        scale_var.value,
+                        calib_channel_scale(h.reshape(-1, in_ch)))
+                else:
+                    act_scale = scale_var.value
+            h = conv3x3_nearest_up2(h, k, b, self.dtype, act_scale)
+            # residual branch: 1x1 conv commutes with nearest-up —
+            # run it on the small grid (4x fewer MACs), then upsample
+            if in_ch != self.out_channels:
+                x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                            name="skip_connection")(x)
+                skip_done = True
             x = _upsample2x(x)
-        elif self.down:
-            h = nn.avg_pool(h, (2, 2), strides=(2, 2))
-            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
-        h = self._conv3("in_layers_2")(h)
+        else:
+            if self.up:
+                h = _upsample2x(h)
+                x = _upsample2x(x)
+            elif self.down:
+                h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+            h = self._conv3("in_layers_2")(h)
 
         emb_ch = 2 * self.out_channels if self.use_scale_shift_norm else self.out_channels
         emb_out = nn.Dense(emb_ch, dtype=self.dtype,
@@ -129,7 +162,7 @@ class ResBlockADM(nn.Module):
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = self._conv3("out_layers_3", kernel_init=zeros_init)(h)
 
-        if in_ch != self.out_channels:
+        if in_ch != self.out_channels and not skip_done:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                         name="skip_connection")(x)
         return x + h
@@ -225,6 +258,8 @@ class UNetADM(nn.Module):
     attn_impl: str = "einsum"  # see AttentionBlockADM
     # int8 W8A8 ResBlock convs: False | True (dynamic) | 'static'
     quant_int8: object = False
+    # decoder upsample implementation: see ResBlockADM.up_impl
+    up_impl: str = "resize"
 
     def _channel_mult(self) -> Tuple[int, ...]:
         if self.channel_mult:
@@ -259,7 +294,8 @@ class UNetADM(nn.Module):
         rb_cls = ResBlockADM
         if self.use_checkpoint:
             rb_cls = nn.remat(ResBlockADM, static_argnums=())
-        res_block = functools.partial(rb_cls, quant=self.quant_int8)
+        res_block = functools.partial(rb_cls, quant=self.quant_int8,
+                                      up_impl=self.up_impl)
 
         x = x.astype(self.dtype)
         ch = int(ch_mult[0] * mc)
@@ -332,6 +368,15 @@ class UNetADM(nn.Module):
                                       up=True, dtype=self.dtype,
                                       name=f"output_blocks_{i_block}_{j}")(
                             h, emb, deterministic=deterministic)
+                    elif self.conv_resample and self.up_impl == "phase":
+                        from dxmi_tpu.models.unet_small import _ConvHolder
+                        from dxmi_tpu.ops.phase_up import conv3x3_nearest_up2
+
+                        k, b = _ConvHolder(
+                            ch, (3, 3),
+                            name=f"output_blocks_{i_block}_{j}_conv")(
+                                h.shape[-1])
+                        h = conv3x3_nearest_up2(h, k, b, self.dtype)
                     else:
                         h = _upsample2x(h)
                         if self.conv_resample:
@@ -360,7 +405,8 @@ def create_unet_adm(image_size: int, num_channels: int, num_res_blocks: int,
                     use_new_attention_order: bool = False,
                     learn_sigma: bool = False,
                     dtype=None, softmax_f32=None,
-                    quant_int8=False, attn_impl=None) -> UNetADM:
+                    quant_int8=False, attn_impl=None,
+                    up_impl=None) -> UNetADM:
     """Factory mirroring cm/script_util.create_model:102-160, including the
     "32,16,8" attention-resolution string -> downsample-rate conversion.
     ``use_fp16`` selects bf16 compute on TPU — including bf16 attention
@@ -394,6 +440,11 @@ def create_unet_adm(image_size: int, num_channels: int, num_res_blocks: int,
                 attn_impl = "flash" if env == "1" else "einsum"
             else:
                 attn_impl = "flash" if use_fp16 else "einsum"
+    if up_impl is None:
+        # DXMI_UP_IMPL=phase opts decoder upsamples into the phase
+        # decomposition (ops/phase_up.py); default keeps reference
+        # op-order semantics.
+        up_impl = os.environ.get("DXMI_UP_IMPL", "resize")
     return UNetADM(
         image_size=image_size,
         in_channels=3,
@@ -414,6 +465,7 @@ def create_unet_adm(image_size: int, num_channels: int, num_res_blocks: int,
         softmax_f32=softmax_f32,
         attn_impl=attn_impl,
         quant_int8=quant_int8,
+        up_impl=up_impl,
     )
 
 
