@@ -7,15 +7,16 @@ Baseline: BASELINE.md north-star — >= 2,000 images/sec/chip sampling
 (CIFAR T=10) on TPU v5e. The reference publishes no throughput numbers
 (SURVEY.md §6), so the driver-set target is the denominator.
 
-Measured path (round 2): static W8A8 int8 convs (per-input-channel
+Measured path (round 3): static W8A8 int8 convs (per-input-channel
 scales) with attention 1x1s kept bf16 (quant_skip_attn), the merged
-(C,3C) qkv matmul (attn_impl='einsum_merged', exact numerics), and
+(C,3C) qkv matmul (attn_impl='einsum_merged', exact numerics),
 bf16-read/fp32-accumulate GroupNorm statistics (DXMI_GN_STATS=
-bf16_onepass). Quality gate (PERF.md "int8 quality gate", scripts/
-bench_int8_quality.py on trained golden-fixture weights): the int8
-path's Frechet distance to the fp path is 0.0008 vs a 0.0545
-same-weights reseed floor — 68x below sampling noise. Pixel drift on
-trained weights 0.53%.
+bf16_onepass), no-max-pass softmax (softmax_nomax, exact math), and
+the phase-decomposed decoder upsample (up_impl='phase', exact algebra
+— ops/phase_up.py). Quality gate (PERF.md round-3 gate table,
+scripts/bench_int8_quality.py --bench_path on trained golden-fixture
+weights): this exact path's Frechet distance to the fp path sits far
+below the same-weights reseed floor.
 
 Measurement shape mirrors production bulk generation: a lax.scan over
 whole trajectories inside one dispatch (dxmi_tpu.samplers.sample_many),
@@ -63,7 +64,8 @@ def main():
                     attn_resolutions=(16,), dropout=0.0, in_channels=3,
                     resolution=32, dtype=jnp.bfloat16, softmax_f32=False,
                     quant_int8="static", quant_skip_attn=True,
-                    attn_impl="einsum_merged")
+                    attn_impl="einsum_merged", softmax_nomax=True,
+                    up_impl="phase")
     sampler = VARSampler(net, n_timesteps=10, sample_shape=(3, 32, 32),
                          trainable_beta="fix_last")
     params = sampler.init_params(jax.random.key(0))

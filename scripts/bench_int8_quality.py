@@ -60,8 +60,8 @@ def load_trained(rundir):
     return cfg, ckpt["params"]
 
 
-def build_sampler(cfg, *, quant=False, attn_impl=None):
-    kw = dict(dtype=jnp.bfloat16, softmax_f32=False)
+def build_sampler(cfg, *, quant=False, attn_impl=None, **extra):
+    kw = dict(dtype=jnp.bfloat16, softmax_f32=False, **extra)
     if quant:
         kw["quant_int8"] = "static"
     if attn_impl:
@@ -99,6 +99,10 @@ def main():
     ap.add_argument("-n", type=int, default=4096)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--skip_fused", action="store_true")
+    ap.add_argument("--bench_path", action="store_true",
+                    help="also gate the exact round-3 bench.py config "
+                         "(merged qkv + skip-attn + nomax, resize & "
+                         "phase upsample)")
     args = ap.parse_args()
 
     print("=" * 72)
@@ -122,12 +126,26 @@ def main():
         q = build_sampler(cfg, quant=True)
         qp = q.calibrate_quant(params, kC, n_sample=8, n_rounds=1)
         intA = generate(q, qp, kA, args.n, args.batch)
+        sets_extra = {}
+        if args.bench_path:
+            # the EXACT round-3 bench.py configuration: merged qkv,
+            # attention kept bf16, nomax softmax (+ phase upsample A/B)
+            for name, up in (("bench_r3", "resize"),
+                             ("bench_r3_phase", "phase")):
+                qb = build_sampler(cfg, quant=True,
+                                   attn_impl="einsum_merged",
+                                   quant_skip_attn=True,
+                                   softmax_nomax=True, up_impl=up)
+                qbp = qb.calibrate_quant(params, kC, n_sample=8,
+                                         n_rounds=1)
+                sets_extra[name] = generate(qb, qbp, kA, args.n,
+                                            args.batch)
     finally:
         os.environ.pop("DXMI_GN_STATS", None)
     print(f"int8 samples: mean {intA.mean():.4f}  "
           f"pixel drift {np.abs(intA - fpA).mean() / (fpA.std() + 1e-8):.4f}")
 
-    sets = {"fpB_floor": fpB, "int8_bench_path": intA}
+    sets = {"fpB_floor": fpB, "int8_bench_path": intA, **sets_extra}
     if not args.skip_fused:
         try:
             fused = build_sampler(cfg, attn_impl="fused")
