@@ -14,7 +14,10 @@ set -eu
 cd /root/repo
 
 # 1. proxy Inception weights + dataset stats at the DEFAULT paths (CPU)
-DXMI_PLATFORM=cpu timeout 1800 python scripts/make_fid_proxy.py --n 4096
+if [ ! -f datasets/pt_inception-2015-12-05.npz ] || \
+   [ ! -f datasets/cifar10_train_fid_stats.npz ]; then
+    DXMI_PLATFORM=cpu timeout 1800 python scripts/make_fid_proxy.py --n 4096
+fi
 
 # 2. under-pretrained sampler (chip)
 mkdir -p runs_conv
