@@ -61,6 +61,12 @@ def main():
                    help="attention path for generation; 'fused' = the "
                         "whole-block Pallas kernel (+15%% over flash, "
                         "PERF.md), degrading per-shape to flash/einsum")
+    p.add_argument("--up_impl", default="phase",
+                   choices=["phase", "resize"],
+                   help="decoder upsample: 'phase' = phase-decomposed "
+                        "conv (exact algebra, 2.25x fewer MACs; +2.9%% "
+                        "ImageNet64 / +6%% LSUN sampling, PERF.md); "
+                        "'resize' = reference op order")
     args, unknown = p.parse_known_args()
 
     cfg = cfglib.load_yaml(os.path.join(args.log_dir, "config.yaml"))
@@ -73,7 +79,7 @@ def main():
     dcfg.pop("weight_schedule", None)
     distillation = dcfg.pop("distillation", False)
     net = create_unet_adm(**dcfg, quant_int8="static" if args.int8 else False,
-                          attn_impl=args.attn_impl)
+                          attn_impl=args.attn_impl, up_impl=args.up_impl)
     denoiser = KarrasDenoiser(sigma_min=sigma_min, sigma_max=sigma_max,
                               distillation=distillation)
     sampler = EDMSampler(net, denoiser, **cfg["sampler"])

@@ -28,9 +28,9 @@ timeout 1800 python scripts/pretrain_ddpm.py --out runs_conv/pre800.msgpack \
 timeout 7200 python train_cifar10.py --config configs/cifar10/T10.yaml \
     --dataset configs/cifar10/cifar10.yaml --run conv_r3 --fake_data \
     --fake_data_size 16384 --max_steps 2500 \
-    training.sampler_ckpt=runs_conv/pre800.msgpack \
-    training.fid_epoch=null training.fid_every=250 \
-    training.n_fid_samples=2048 training.sampling_batchsize=256 \
-    training.n_epochs=25 training.lr=1e-5 training.v_lr=1e-4 \
+    --training.sampler_ckpt runs_conv/pre800.msgpack \
+    --training.fid_epoch null --training.fid_every 250 \
+    --training.n_fid_samples 2048 --training.sampling_batchsize 256 \
+    --training.n_epochs 25 --training.lr 1e-5 --training.v_lr 1e-4 \
     2>&1 | tee /tmp/conv_chip.log
 echo "CONVERGENCE RUN DONE"
