@@ -21,7 +21,7 @@ if [ ! -d /tmp/rehearsal/rundir_cifar ]; then
 fi
 
 echo "=== stage A: 50k generation -> npz (chip) ==="
-/usr/bin/time -v timeout 3000 python generate_cifar10.py \
+python scripts/timev.py timeout 3000 python generate_cifar10.py \
     --log_dir /tmp/rehearsal/rundir_cifar -n 50000 --batchsize 500 \
     --save_npz /tmp/rehearsal/cifar50k.npz --seed 7 \
     2>&1 | grep -Ev "^\s*$" | tail -25
@@ -38,7 +38,7 @@ np.savez("/tmp/rehearsal/ref10k.npz",
          arr_0=fake_cifar(10000, 112233).images)
 EOF
 fi
-/usr/bin/time -v timeout 3000 python evaluations/evaluator.py \
+python scripts/timev.py timeout 3000 python evaluations/evaluator.py \
     /tmp/rehearsal/ref10k.npz /tmp/rehearsal/cifar50k.npz \
     2>&1 | tail -15
 
@@ -47,7 +47,7 @@ if [ ! -d /tmp/rehearsal/rundir_lsun ]; then
     DXMI_PLATFORM=cpu timeout 1800 python scripts/make_fullsize_rundir.py \
         /tmp/rehearsal/rundir_lsun configs/lsun/T4.yaml
 fi
-/usr/bin/time -v timeout 3000 python generate_large.py \
+python scripts/timev.py timeout 3000 python generate_large.py \
     --log_dir /tmp/rehearsal/rundir_lsun --n_sample 512 --batchsize 16 \
     --skip_fid --save_npz /tmp/rehearsal/lsun512.npz --int8 \
     2>&1 | tail -15
