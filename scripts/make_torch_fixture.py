@@ -124,7 +124,28 @@ def main():
 
     data = make_data(8 * B, rng)
     state_dict = reset_buffer("cpu")
-    for it in range(N_ITERS):
+
+    # Checkpoint/resume: two prior 3000-iter attempts died at 2000/2800
+    # iters with nothing recoverable (PERF.md "Fixture-hardening status").
+    # Every DXMI_FIXTURE_CKPT_EVERY iters the full training state (nets,
+    # both Adams, torch+numpy RNG) goes to a scratch file; a rerun picks
+    # up exactly where the dead one stopped.
+    ckpt_path = os.environ.get("DXMI_FIXTURE_CKPT",
+                               "/tmp/fixture_train_ckpt.pt")
+    ckpt_every = int(os.environ.get("DXMI_FIXTURE_CKPT_EVERY", "50"))
+    start_it = 0
+    if os.path.exists(ckpt_path):
+        ck = torch.load(ckpt_path, weights_only=False)
+        net.load_state_dict(ck["net"])
+        value.load_state_dict(ck["value"])
+        opt.load_state_dict(ck["opt"])
+        opt_v.load_state_dict(ck["opt_v"])
+        torch.set_rng_state(ck["torch_rng"])
+        rng.bit_generator.state = ck["np_rng"]
+        start_it = ck["iter"] + 1
+        print(f"resumed from {ckpt_path} at iter {start_it}", flush=True)
+
+    for it in range(start_it, N_ITERS):
         idx = rng.integers(0, len(data), B)
         images = torch.from_numpy(2 * data[idx] - 1)
         sampler.eval()
@@ -135,10 +156,20 @@ def main():
         # reference resets the buffer after every sampler update
         # (train_cifar10.py:193, n_critic=1)
         state_dict = reset_buffer("cpu")
-        if it % 200 == 0 or it == N_ITERS - 1:
+        if it % 50 == 0 or it == N_ITERS - 1:
             print(f"iter {it:4d}  v_loss={d_energy.get("ebm/v_loss_", float("nan")):.4f} "
                   f"sampler_loss={d_gen.get("sampler/sampler_loss_", float("nan")):.4f}",
                   flush=True)
+        if (it + 1) % ckpt_every == 0:
+            torch.save({"net": net.state_dict(),
+                        "value": value.state_dict(),
+                        "opt": opt.state_dict(),
+                        "opt_v": opt_v.state_dict(),
+                        "torch_rng": torch.get_rng_state(),
+                        "np_rng": rng.bit_generator.state,
+                        "iter": it},
+                       ckpt_path + ".tmp")
+            os.replace(ckpt_path + ".tmp", ckpt_path)
 
     os.makedirs(OUT, exist_ok=True)
     torch.save({"state_dict": net.state_dict(), "fid": 0.0, "epoch": 0,
