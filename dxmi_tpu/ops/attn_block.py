@@ -163,6 +163,67 @@ def _kernel(x_ref, gs_ref, gb_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
     o_ref[0] = x + y
 
 
+def _kernel_bb(x_ref, gs_ref, gb_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
+               m_ref, e_ref, o_ref, *, nh: int, eps: float, qb: int,
+               bb: int):
+    """Batch-blocked variant: one program normalizes and projects BB batch
+    elements at once, so the qkv/proj matmuls run at (BB*S, C) rows — MXU
+    utilization the per-element kernel (grid=(B,)) never reaches at the
+    CIFAR map shape (S=256, C=256; PERF.md round-2: per-element fused lost
+    6% to the XLA einsum path there).  Attention itself stays per-element
+    (independent (S,S) logits), statically unrolled over BB."""
+    x = x_ref[:]                                    # (BB, S, C)
+    _, S, C = x.shape
+    G = m_ref.shape[1]
+    d = C // nh
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    flat = xf.reshape(bb * S, C)
+
+    # per-element GroupNorm stats via mask matmuls (see module docstring)
+    sums = jnp.dot(flat, m_ref[:], preferred_element_type=jnp.float32)
+    mean_g = jnp.sum(sums.reshape(bb, S, G), axis=1)          # (BB, G)
+    sq = jnp.dot(flat * flat, m_ref[:], preferred_element_type=jnp.float32)
+    var_g = jnp.sum(sq.reshape(bb, S, G), axis=1) - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.dot(mean_g, e_ref[:], preferred_element_type=jnp.float32)
+    inv_c = jnp.dot(inv_g, e_ref[:], preferred_element_type=jnp.float32)
+    s_c = gs_ref[:] * inv_c                                   # (BB, C)
+    t_c = gb_ref[:] - mean_c * s_c
+    h = (xf * s_c[:, None, :] + t_c[:, None, :]).astype(dt)
+
+    qkv = (jnp.dot(h.reshape(bb * S, C), wqkv_ref[:],
+                   preferred_element_type=jnp.float32).astype(dt)
+           + bqkv_ref[:].astype(dt)).reshape(bb, S, 3 * C)
+
+    scale = jnp.asarray(1.0 / math.sqrt(math.sqrt(d)), dt)
+    outs = []
+    for i in range(bb):
+        heads = []
+        for hh in range(nh):
+            qh = qkv[i, :, hh * d:(hh + 1) * d] * scale
+            kh = qkv[i, :, C + hh * d:C + (hh + 1) * d] * scale
+            vh = qkv[i, :, 2 * C + hh * d:2 * C + (hh + 1) * d]
+            tiles = []
+            for r0 in range(0, S, qb):
+                lg = jax.lax.dot_general(
+                    qh[r0:r0 + qb], kh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                w = jax.nn.softmax(lg, axis=-1).astype(dt)
+                tiles.append(jnp.dot(w, vh,
+                                     preferred_element_type=jnp.float32)
+                             .astype(dt))
+            heads.append(jnp.concatenate(tiles, axis=0) if len(tiles) > 1
+                         else tiles[0])
+        outs.append(jnp.concatenate(heads, axis=1) if nh > 1 else heads[0])
+    a = jnp.stack(outs)                                       # (BB, S, C)
+
+    y = (jnp.dot(a.reshape(bb * S, C), wp_ref[:],
+                 preferred_element_type=jnp.float32).astype(dt)
+         + bp_ref[:].astype(dt))
+    o_ref[:] = x + y.reshape(bb, S, C)
+
+
 def _group_mats(C: int, S: int, groups: int = 32):
     cg = C // groups
     gid = np.arange(C) // cg
@@ -174,8 +235,37 @@ def _group_mats(C: int, S: int, groups: int = 32):
 
 
 def _pallas_forward(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
-                    nh: int, eps: float, interpret: bool):
+                    nh: int, eps: float, interpret: bool, bb: int = 1):
     B, S, C = x.shape
+    if bb > 1:
+        while B % bb:
+            bb -= 1
+    if bb > 1:
+        m, e = _group_mats(C, S)
+        qb = min(S, 256)
+        vec = pl.BlockSpec((1, C), lambda b: (0, 0))
+        return pl.pallas_call(
+            functools.partial(_kernel_bb, nh=nh, eps=eps, qb=qb, bb=bb),
+            grid=(B // bb,),
+            in_specs=[
+                pl.BlockSpec((bb, S, C), lambda b: (b, 0, 0)),
+                vec, vec,
+                pl.BlockSpec((C, 3 * C), lambda b: (0, 0)),
+                pl.BlockSpec((1, 3 * C), lambda b: (0, 0)),
+                pl.BlockSpec((C, C), lambda b: (0, 0)),
+                vec,
+                pl.BlockSpec((C, 32), lambda b: (0, 0)),
+                pl.BlockSpec((32, C), lambda b: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((bb, S, C), lambda b: (b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, S, C), x.dtype),
+            interpret=interpret,
+        )(x, gn_scale.reshape(1, C).astype(jnp.float32),
+          gn_bias.reshape(1, C).astype(jnp.float32),
+          w_qkv.astype(x.dtype),
+          b_qkv.reshape(1, 3 * C).astype(x.dtype),
+          w_proj.astype(x.dtype), b_proj.reshape(1, C).astype(x.dtype),
+          m, e)
     # split the head-interleaved qkv conv weights into q/k/v planes on the
     # host side (channel layout [3, nh, d], cm/unet.py qkv reshape)
     wq, wk, wv = (w_qkv[:, i * C:(i + 1) * C] for i in range(3))
@@ -208,10 +298,11 @@ def _pallas_forward(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_op(nh: int, eps: float, interpret: bool):
+def _make_op(nh: int, eps: float, interpret: bool, bb: int = 1):
     @jax.custom_vjp
     def op(x, gs, gb, wq, bq, wp, bp):
-        return _pallas_forward(x, gs, gb, wq, bq, wp, bp, nh, eps, interpret)
+        return _pallas_forward(x, gs, gb, wq, bq, wp, bp, nh, eps, interpret,
+                               bb)
 
     def fwd(x, gs, gb, wq, bq, wp, bp):
         return op(x, gs, gb, wq, bq, wp, bp), (x, gs, gb, wq, bq, wp, bp)
@@ -227,11 +318,19 @@ def _make_op(nh: int, eps: float, interpret: bool):
 
 def fused_attn_block(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
                      num_heads: int, eps: float = 1e-5,
-                     interpret: bool | None = None):
+                     interpret: bool | None = None,
+                     block_b: int | None = None):
     """Run the fused attention block. x: (B, S, C); w_qkv: (C, 3C) with
     [3, nh, d] output-channel layout; w_proj: (C, C).  Differentiable
-    (backward recomputes via the pure-JAX reference)."""
+    (backward recomputes via the pure-JAX reference).
+
+    block_b > 1 selects the batch-blocked kernel (qkv/proj matmuls over
+    BB*S rows; see _kernel_bb).  Default 1 = the recorded per-element
+    kernel; DXMI_FUSED_ATTN_BB overrides for benchmarking."""
     if interpret is None:
         interpret = not _tpu_backend()
-    return _make_op(int(num_heads), float(eps), bool(interpret))(
+    if block_b is None:
+        block_b = int(os.environ.get("DXMI_FUSED_ATTN_BB", "1"))
+    return _make_op(int(num_heads), float(eps), bool(interpret),
+                    int(block_b))(
         x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj)

@@ -236,9 +236,15 @@ class ManifoldEstimator:
         return (np.sum(a**2, 1)[:, None] + np.sum(b**2, 1)[None]
                 - 2 * a @ b.T).clip(0)
 
-    def _row_blocks(self, feats, block_fn, rb):
-        """Run ``block_fn`` over fixed-shape row blocks (pad the tail so
-        one compiled program serves every block)."""
+    def _row_blocks(self, feats, block_fn, rb, *operands):
+        """Run ``block_fn(rows, *operands)`` over fixed-shape row blocks
+        (pad the tail so one compiled program serves every block).
+
+        The big side operands (the full feature matrix, radii) are passed
+        as ARGUMENTS, never closed over: a jit-captured 50k x 2048 fp32
+        constant ships inside the compile payload and the axon
+        remote-compile tunnel rejects it (HTTP 413 at the 50k-rehearsal
+        scale — PERF.md round 3)."""
         import jax.numpy as jnp
 
         f = jnp.asarray(feats, jnp.float32)
@@ -249,7 +255,7 @@ class ManifoldEstimator:
             m = rows.shape[0]
             if m < rb:
                 rows = jnp.pad(rows, ((0, rb - m), (0, 0)))
-            outs.append(np.asarray(block_fn(rows))[:m])
+            outs.append(np.asarray(block_fn(rows, *operands))[:m])
         return np.concatenate(outs, axis=0)
 
     def manifold_radii(self, feats: np.ndarray) -> np.ndarray:
@@ -258,11 +264,9 @@ class ManifoldEstimator:
             import jax.numpy as jnp
 
             k = self.k
-            f = jnp.asarray(feats, jnp.float32)
-            sq = jnp.sum(f * f, axis=1)
 
             @jax.jit
-            def block(rows):
+            def block(rows, f, sq):
                 rsq = jnp.sum(rows * rows, axis=1)
                 d2 = jnp.maximum(
                     rsq[:, None] + sq[None, :] - 2.0 * rows @ f.T, 0.0)
@@ -271,8 +275,11 @@ class ManifoldEstimator:
                 smallest = -jax.lax.top_k(-d2, k + 1)[0]
                 return smallest[:, k]
 
+            f = jnp.asarray(feats, jnp.float32)
+            sq = jnp.sum(f * f, axis=1)
             rb = min(self.row_batch, len(feats))
-            return self._row_blocks(feats, block, rb).astype(np.float64)
+            return self._row_blocks(feats, block, rb, f, sq
+                                    ).astype(np.float64)
 
         n = len(feats)
         radii = np.zeros(n, dtype=np.float64)
@@ -293,19 +300,18 @@ class ManifoldEstimator:
             import jax
             import jax.numpy as jnp
 
-            f = jnp.asarray(feats_a, jnp.float32)
-            r = jnp.asarray(radii_a, jnp.float32)
-            sq = jnp.sum(f * f, axis=1)
-
             @jax.jit
-            def block(rows):
+            def block(rows, f, sq, r):
                 rsq = jnp.sum(rows * rows, axis=1)
                 d2 = jnp.maximum(
                     rsq[:, None] + sq[None, :] - 2.0 * rows @ f.T, 0.0)
                 return (d2 <= r[None, :]).any(axis=1)
 
+            f = jnp.asarray(feats_a, jnp.float32)
+            r = jnp.asarray(radii_a, jnp.float32)
+            sq = jnp.sum(f * f, axis=1)
             rb = min(self.row_batch, len(feats_b))
-            inside = self._row_blocks(feats_b, block, rb)
+            inside = self._row_blocks(feats_b, block, rb, f, sq, r)
             return float(inside.mean())
 
         inside = np.zeros(len(feats_b), dtype=bool)

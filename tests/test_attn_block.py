@@ -228,3 +228,26 @@ def test_unet_small_softmax_nomax_close():
     ya = np.asarray(net_a.apply({"params": params}, x, t))
     yb = np.asarray(net_b.apply({"params": params}, x, t))
     np.testing.assert_allclose(yb, ya, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_batch_blocked_matches_per_element():
+    """_kernel_bb (block_b>1) must agree with the recorded per-element
+    kernel and the reference, including a non-dividing block_b (B=6,
+    bb=4 -> falls back to bb=2) and nh>1 head slicing."""
+    args = _mk(B=6, S=128, C=128, nh=2, seed=3)
+    ref = attn_block_reference(*args, num_heads=2)
+    for bb in (2, 3, 4):
+        out = fused_attn_block(*args, num_heads=2, interpret=True,
+                               block_b=bb)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_fused_batch_blocked_bf16_single_head():
+    """block_b path at the CIFAR bench shape class (nh=1, bf16)."""
+    args = _mk(B=4, S=256, C=128, nh=1, dtype=jnp.bfloat16, seed=4)
+    ref = attn_block_reference(*args, num_heads=1)
+    out = fused_attn_block(*args, num_heads=1, interpret=True, block_b=4)
+    err = (np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
+           .mean() / (np.abs(np.asarray(ref, np.float32)).mean() + 1e-8))
+    assert err < 2e-2, err
