@@ -21,7 +21,7 @@ p.add_argument("--batch", type=int, default=96)
 p.add_argument("--nb", type=int, default=64)
 p.add_argument("--reps", type=int, default=8)
 p.add_argument("--attn", default="fused",
-               choices=["einsum", "einsum_merged", "fused"])
+               choices=["einsum", "einsum_merged", "merged", "fused"])
 p.add_argument("--bb", type=int, default=1)
 args = p.parse_args()
 
