@@ -32,7 +32,8 @@ import numpy as np
 
 from dxmi_tpu.ops import trig
 from dxmi_tpu.ops.attention import flash_available, flash_mha
-from dxmi_tpu.ops.attn_block import fused_attn_available, fused_attn_block
+from dxmi_tpu.ops.attn_block import (fused_attn_available, fused_attn_block,
+                                     fused_attn_block_int8)
 
 
 def adm_timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
@@ -192,6 +193,13 @@ class AttentionBlockADM(nn.Module):
     # (ops/attn_block.py) where its gate admits the shape, degrading to
     # flash/einsum elsewhere.
     attn_impl: str = "einsum"
+    # 'static' + attn_impl='fused': W8A8 qkv/proj epilogues INSIDE the
+    # fused kernel (ops/attn_block.fused_attn_block_int8) with calibrated
+    # per-input-channel activation scales recorded in 'quant_scales'
+    # ('attn_act_scale' for post-GN, 'attn_proj_scale' for the attention
+    # output); the attention core stays bf16 (quantizing it loses at
+    # every shape measured, PERF.md rounds 1-3).
+    quant: object = False
 
     @nn.compact
     def __call__(self, x):
@@ -199,18 +207,42 @@ class AttentionBlockADM(nn.Module):
         S = H * W
         nh = self.num_heads
         d = C // nh
+        sa_q = sa_p = None
+        calibrating = False
         if self.attn_impl == "fused" and fused_attn_available(S, C, nh):
-            from dxmi_tpu.models.unet_small import _ConvHolder, _GNHolder
+            q_static = self.quant == "static"
+            if q_static:
+                sa_q = self.variable("quant_scales", "attn_act_scale",
+                                     lambda: jnp.zeros((C,), jnp.float32))
+                sa_p = self.variable("quant_scales", "attn_proj_scale",
+                                     lambda: jnp.zeros((C,), jnp.float32))
+                calibrating = self.is_mutable_collection("quant_scales")
+            if not calibrating:
+                from dxmi_tpu.models.unet_small import _ConvHolder, _GNHolder
 
-            gs, gb = _GNHolder(name="norm")(C)
-            kqkv, bqkv = _ConvHolder(3 * C, (1, 1), name="qkv")(C)
-            kproj, bproj = _ConvHolder(C, (1, 1), kernel_init=zeros_init,
-                                       name="proj_out")(C)
-            y = fused_attn_block(x.reshape(B, S, C).astype(self.dtype),
-                                 gs, gb, kqkv.reshape(C, 3 * C), bqkv,
-                                 kproj.reshape(C, C), bproj, nh)
-            return y.reshape(B, H, W, C)
+                gs, gb = _GNHolder(name="norm")(C)
+                kqkv, bqkv = _ConvHolder(3 * C, (1, 1), name="qkv")(C)
+                kproj, bproj = _ConvHolder(C, (1, 1), kernel_init=zeros_init,
+                                           name="proj_out")(C)
+                xs = x.reshape(B, S, C).astype(self.dtype)
+                if q_static:
+                    y = fused_attn_block_int8(
+                        xs, gs, gb, kqkv.reshape(C, 3 * C), bqkv,
+                        kproj.reshape(C, C), bproj,
+                        sa_q.value, sa_p.value, nh)
+                else:
+                    y = fused_attn_block(xs, gs, gb, kqkv.reshape(C, 3 * C),
+                                         bqkv, kproj.reshape(C, C), bproj,
+                                         nh)
+                return y.reshape(B, H, W, C)
+            # calibration pass falls through to the full-precision path
+            # below, recording the activation ranges (QConv pattern)
         h = GroupNormADM(dtype=self.dtype, name="norm")(x)
+        if calibrating:
+            from dxmi_tpu.ops.quant import calib_channel_scale
+
+            sa_q.value = jnp.maximum(
+                sa_q.value, calib_channel_scale(h.reshape(-1, C)))
         qkv = nn.Conv(3 * C, (1, 1), dtype=self.dtype, name="qkv")(h)
         qkv = qkv.reshape(B, S, 3, nh, d)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
@@ -225,6 +257,11 @@ class AttentionBlockADM(nn.Module):
                                 preferred_element_type=acc_t)
             w = jax.nn.softmax(logits.astype(acc_t), axis=-1).astype(self.dtype)
             a = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(B, H, W, C)
+        if calibrating:
+            from dxmi_tpu.ops.quant import calib_channel_scale
+
+            sa_p.value = jnp.maximum(
+                sa_p.value, calib_channel_scale(a.reshape(-1, C)))
         a = nn.Conv(C, (1, 1), dtype=self.dtype, kernel_init=zeros_init,
                     name="proj_out")(a)
         return x + a
@@ -258,6 +295,10 @@ class UNetADM(nn.Module):
     attn_impl: str = "einsum"  # see AttentionBlockADM
     # int8 W8A8 ResBlock convs: False | True (dynamic) | 'static'
     quant_int8: object = False
+    # 'static': ALSO run the fused attention blocks' qkv/proj matmuls
+    # W8A8 inside the Pallas kernel (AttentionBlockADM.quant); requires
+    # attn_impl='fused' + quant_int8='static' calibration
+    quant_attn: object = False
     # decoder upsample implementation: see ResBlockADM.up_impl
     up_impl: str = "resize"
 
@@ -315,6 +356,7 @@ class UNetADM(nn.Module):
                     h = AttentionBlockADM(self._heads(ch, False), dtype=self.dtype,
                                           softmax_f32=self.softmax_f32,
                                           attn_impl=self.attn_impl,
+                                          quant=self.quant_attn,
                                           name=f"input_blocks_{i_block}_1")(h)
                 hs.append(h)
                 i_block += 1
@@ -339,8 +381,9 @@ class UNetADM(nn.Module):
                       dtype=self.dtype, name="middle_block_0")(
             h, emb, deterministic=deterministic)
         h = AttentionBlockADM(self._heads(ch, False), dtype=self.dtype,
-                                          softmax_f32=self.softmax_f32,
+                              softmax_f32=self.softmax_f32,
                               attn_impl=self.attn_impl,
+                              quant=self.quant_attn,
                               name="middle_block_1")(h)
         h = res_block(ch, self.dropout, self.use_scale_shift_norm,
                       dtype=self.dtype, name="middle_block_2")(
@@ -360,6 +403,7 @@ class UNetADM(nn.Module):
                     h = AttentionBlockADM(self._heads(ch, True), dtype=self.dtype,
                                           softmax_f32=self.softmax_f32,
                                           attn_impl=self.attn_impl,
+                                          quant=self.quant_attn,
                                           name=f"output_blocks_{i_block}_{j}")(h)
                     j += 1
                 if level and i == self.num_res_blocks:
@@ -406,7 +450,7 @@ def create_unet_adm(image_size: int, num_channels: int, num_res_blocks: int,
                     learn_sigma: bool = False,
                     dtype=None, softmax_f32=None,
                     quant_int8=False, attn_impl=None,
-                    up_impl=None) -> UNetADM:
+                    up_impl=None, quant_attn=None) -> UNetADM:
     """Factory mirroring cm/script_util.create_model:102-160, including the
     "32,16,8" attention-resolution string -> downsample-rate conversion.
     ``use_fp16`` selects bf16 compute on TPU — including bf16 attention
@@ -445,6 +489,15 @@ def create_unet_adm(image_size: int, num_channels: int, num_res_blocks: int,
         # decomposition (ops/phase_up.py); default keeps reference
         # op-order semantics.
         up_impl = os.environ.get("DXMI_UP_IMPL", "resize")
+    if quant_attn is None:
+        # DXMI_QUANT_ATTN=1: W8A8 qkv/proj epilogues inside the fused
+        # attention kernel (needs quant_int8='static' calibration +
+        # attn_impl='fused'); off by default pending the trained-weight
+        # drift gate + measurement (PERF.md round 4).
+        quant_attn = ("static"
+                      if os.environ.get("DXMI_QUANT_ATTN") == "1"
+                      and quant_int8 == "static" and attn_impl == "fused"
+                      else False)
     return UNetADM(
         image_size=image_size,
         in_channels=3,
@@ -465,6 +518,7 @@ def create_unet_adm(image_size: int, num_channels: int, num_res_blocks: int,
         softmax_f32=softmax_f32,
         attn_impl=attn_impl,
         quant_int8=quant_int8,
+        quant_attn=quant_attn,
         up_impl=up_impl,
     )
 

@@ -224,6 +224,201 @@ def _kernel_bb(x_ref, gs_ref, gb_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
     o_ref[:] = x + y.reshape(bb, S, C)
 
 
+def attn_block_int8_reference(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj,
+                              b_proj, sa_qkv, sa_proj, num_heads: int,
+                              eps: float = 1e-5):
+    """Pure-JAX reference of the int8 fused block: GN fp32 -> W8A8 qkv
+    (``int8_matmul_static`` semantics: per-input-channel act scales fold
+    into the weight's input axis, per-output-channel symmetric int8
+    weights, int32 MXU accumulation) -> bf16-class attention -> W8A8
+    proj -> residual.  The parity oracle for ``_kernel_i8``."""
+    from dxmi_tpu.ops.quant import int8_matmul_static
+
+    B, S, C = x.shape
+    nh = num_heads
+    d = C // nh
+    xf = x.astype(jnp.float32)
+    g = xf.reshape(B, S, 32, C // 32)
+    mean = g.mean(axis=(1, 3), keepdims=True)
+    var = g.var(axis=(1, 3), keepdims=True)
+    h = ((g - mean) * jax.lax.rsqrt(var + eps)).reshape(B, S, C)
+    h = (h * gn_scale + gn_bias).astype(x.dtype)
+    qkv = int8_matmul_static(h, w_qkv, b_qkv, sa_qkv, out_dtype=x.dtype)
+    qkv = qkv.reshape(B, S, 3, nh, d)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    scale = 1.0 / math.sqrt(math.sqrt(d))
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k * scale,
+                        preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+    a = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(B, S, C)
+    y = int8_matmul_static(a, w_proj, b_proj, sa_proj, out_dtype=x.dtype)
+    return x + y
+
+
+def _kernel_i8(x_ref, gs_ref, gb_ref, wqkv_ref, swq_ref, isa_q_ref,
+               bqkv_ref, wp_ref, swp_ref, isa_p_ref, bp_ref, m_ref, e_ref,
+               o_ref, *, nh: int, eps: float, qb: int):
+    """int8-native fused block: the qkv/proj matmuls run int8 x int8 ->
+    int32 on the MXU (2x the bf16 rate on v5e) with the quantize/dequant
+    epilogues fused in-VMEM.  GN stats fp32, attention core bf16 — the
+    measured-optimal split (PERF.md round-1/2: quantizing the attention
+    core itself loses at every shape tested).
+
+    Inputs: wqkv_ref (C, 3C) int8 (activation scales already folded into
+    the input axis, weights per-output-channel symmetric — the
+    ``int8_matmul_static`` preparation, done in-graph outside the
+    kernel); swq_ref (1, 3C) fp32 per-output dequant scales; isa_q_ref
+    (1, C) fp32 = 1/act_scale for the post-GN activation quantize.
+    Same layout for the proj side."""
+    x = x_ref[0]                                    # (S, C)
+    S, C = x.shape
+    d = C // nh
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+
+    # GroupNorm(32) stats, fp32, via mask matmuls (see module docstring)
+    sums = jnp.dot(xf, m_ref[:], preferred_element_type=jnp.float32)
+    mean_g = jnp.sum(sums, axis=0, keepdims=True)            # (1, G)
+    sq = jnp.dot(xf * xf, m_ref[:], preferred_element_type=jnp.float32)
+    var_g = jnp.sum(sq, axis=0, keepdims=True) - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.dot(mean_g, e_ref[:], preferred_element_type=jnp.float32)
+    inv_c = jnp.dot(inv_g, e_ref[:], preferred_element_type=jnp.float32)
+    s_c = gs_ref[:] * inv_c                                  # (1, C) fp32
+    t_c = gb_ref[:] - mean_c * s_c
+
+    # quantize h straight out of the GN epilogue (never materialized fp)
+    h_q = (xf * s_c + t_c) * isa_q_ref[:]
+    h_i8 = jnp.clip(jnp.round(h_q), -127, 127).astype(jnp.int8)
+
+    qkv = (jnp.dot(h_i8, wqkv_ref[:],
+                   preferred_element_type=jnp.int32).astype(jnp.float32)
+           * swq_ref[:] + bqkv_ref[:]).astype(dt)            # (S, 3C)
+
+    scale = jnp.asarray(1.0 / math.sqrt(math.sqrt(d)), dt)
+    heads = []
+    for i in range(nh):
+        qh = qkv[:, i * d:(i + 1) * d] * scale
+        kh = qkv[:, C + i * d:C + (i + 1) * d] * scale
+        vh = qkv[:, 2 * C + i * d:2 * C + (i + 1) * d]
+        tiles = []
+        for r0 in range(0, S, qb):
+            lg = jax.lax.dot_general(
+                qh[r0:r0 + qb], kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (qb, S) fp32
+            w = jax.nn.softmax(lg, axis=-1).astype(dt)
+            tiles.append(jnp.dot(w, vh,
+                                 preferred_element_type=jnp.float32)
+                         .astype(dt))
+        heads.append(jnp.concatenate(tiles, axis=0) if len(tiles) > 1
+                     else tiles[0])
+    a = jnp.concatenate(heads, axis=1) if nh > 1 else heads[0]   # (S, C)
+
+    a_i8 = jnp.clip(jnp.round(a.astype(jnp.float32) * isa_p_ref[:]),
+                    -127, 127).astype(jnp.int8)
+    y = (jnp.dot(a_i8, wp_ref[:],
+                 preferred_element_type=jnp.int32).astype(jnp.float32)
+         * swp_ref[:] + bp_ref[:]).astype(dt)
+    o_ref[0] = x + y
+
+
+def _prep_int8_mats(w_qkv, w_proj, sa_qkv, sa_proj):
+    """Fold act scales into the weights' input axes and quantize
+    per-output-channel (the exact ``int8_matmul_static`` preparation) —
+    in-graph, outside the kernel; XLA constant-folds it for baked params
+    and it is a cheap elementwise pass over (C, 3C)/(C, C) otherwise."""
+    from dxmi_tpu.ops.quant import quantize_per_channel
+
+    C = w_qkv.shape[0]
+    sa_q = jnp.asarray(sa_qkv, jnp.float32).reshape(C)
+    sa_p = jnp.asarray(sa_proj, jnp.float32).reshape(C)
+    wq_i8, swq = quantize_per_channel(
+        w_qkv.astype(jnp.float32) * sa_q[:, None], axis=-1)
+    wp_i8, swp = quantize_per_channel(
+        w_proj.astype(jnp.float32) * sa_p[:, None], axis=-1)
+    return (wq_i8, swq.reshape(1, -1),
+            (1.0 / sa_q).reshape(1, C),
+            wp_i8, swp.reshape(1, -1),
+            (1.0 / sa_p).reshape(1, C))
+
+
+def _pallas_forward_i8(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
+                       sa_qkv, sa_proj, nh: int, eps: float,
+                       interpret: bool):
+    B, S, C = x.shape
+    wq_i8, swq, isa_q, wp_i8, swp, isa_p = _prep_int8_mats(
+        w_qkv, w_proj, sa_qkv, sa_proj)
+    m, e = _group_mats(C, S)
+    qb = min(S, 256)
+    vec = pl.BlockSpec((1, C), lambda b: (0, 0))
+    return pl.pallas_call(
+        functools.partial(_kernel_i8, nh=nh, eps=eps, qb=qb),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, S, C), lambda b: (b, 0, 0)),
+            vec, vec,
+            pl.BlockSpec((C, 3 * C), lambda b: (0, 0)),
+            pl.BlockSpec((1, 3 * C), lambda b: (0, 0)),
+            vec,
+            pl.BlockSpec((1, 3 * C), lambda b: (0, 0)),
+            pl.BlockSpec((C, C), lambda b: (0, 0)),
+            vec, vec, vec,
+            pl.BlockSpec((C, 32), lambda b: (0, 0)),
+            pl.BlockSpec((32, C), lambda b: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, S, C), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, S, C), x.dtype),
+        interpret=interpret,
+    )(x, gn_scale.reshape(1, C).astype(jnp.float32),
+      gn_bias.reshape(1, C).astype(jnp.float32),
+      wq_i8, swq, isa_q,
+      b_qkv.reshape(1, 3 * C).astype(jnp.float32),
+      wp_i8, swp, isa_p,
+      b_proj.reshape(1, C).astype(jnp.float32),
+      m, e)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_op_i8(nh: int, eps: float, interpret: bool):
+    @jax.custom_vjp
+    def op(x, gs, gb, wq, bq, wp, bp, saq, sap):
+        return _pallas_forward_i8(x, gs, gb, wq, bq, wp, bp, saq, sap,
+                                  nh, eps, interpret)
+
+    def fwd(x, gs, gb, wq, bq, wp, bp, saq, sap):
+        return op(x, gs, gb, wq, bq, wp, bp, saq, sap), (
+            x, gs, gb, wq, bq, wp, bp)
+
+    def bwd(res, ct):
+        # gradients via the FULL-PRECISION reference (round() is
+        # piecewise-constant; the fp path is its smooth surrogate) —
+        # sampling/calibration never differentiates this op, training
+        # keeps the flash kernel (PERF.md kernel policy)
+        ref = functools.partial(attn_block_reference, num_heads=nh, eps=eps)
+        _, vjp = jax.vjp(ref, *res)
+        return vjp(ct) + (None, None)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def fused_attn_block_int8(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj,
+                          b_proj, sa_qkv, sa_proj, num_heads: int,
+                          eps: float = 1e-5,
+                          interpret: bool | None = None):
+    """int8-native fused attention block (W8A8 qkv/proj epilogues inside
+    the kernel, bf16 attention core).  ``sa_qkv``/``sa_proj``: (C,)
+    calibrated per-input-channel activation scales for the post-GN and
+    post-attention activations (the 'quant_scales' collection entries
+    recorded by ``AttentionBlockADM`` during calibration).  Same VMEM
+    gate as :func:`fused_attn_available`."""
+    if interpret is None:
+        interpret = not _tpu_backend()
+    return _make_op_i8(int(num_heads), float(eps), bool(interpret))(
+        x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
+        jnp.asarray(sa_qkv), jnp.asarray(sa_proj))
+
+
 def _group_mats(C: int, S: int, groups: int = 32):
     cg = C // groups
     gid = np.arange(C) // cg
@@ -326,11 +521,23 @@ def fused_attn_block(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
 
     block_b > 1 selects the batch-blocked kernel (qkv/proj matmuls over
     BB*S rows; see _kernel_bb).  Default 1 = the recorded per-element
-    kernel; DXMI_FUSED_ATTN_BB overrides for benchmarking."""
+    kernel; DXMI_FUSED_ATTN_BB overrides for benchmarking.
+
+    The ``fused_attn_available`` VMEM gate (S*C <= 1024*384) assumes the
+    bb=1 working set; bb multiplies per-program activations by bb, so bb
+    is clamped here to keep bb*S*C within the same bound (and bb <= B,
+    B % bb == 0 — the kernel requires an integral grid)."""
     if interpret is None:
         interpret = not _tpu_backend()
     if block_b is None:
         block_b = int(os.environ.get("DXMI_FUSED_ATTN_BB", "1"))
+    block_b = int(block_b)
+    if block_b > 1:
+        B, S, C = x.shape
+        cap = max(1, (1024 * 384) // (S * C))
+        block_b = min(block_b, cap, B)
+        while block_b > 1 and B % block_b:
+            block_b -= 1
     return _make_op(int(num_heads), float(eps), bool(interpret),
                     int(block_b))(
         x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj)

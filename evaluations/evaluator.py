@@ -5,8 +5,10 @@ openai/guided-diffusion TF1-graph evaluator used for the paper's official
 numbers) — re-built TPU-native on the Flax FID Inception:
 
   * FID      — pool3 (2048-d) Frechet distance,
-  * sFID     — spatial features: first 7 channels of the Mixed_6e (17x17)
-               map, flattened to 2023-d (evaluator.py:23-24),
+  * sFID     — spatial features: first 7 channels of the Mixed_6d (17x17)
+               output map (= the TF graph's ``mixed_6/conv`` tensor; see
+               the tap-mapping note in ``WithTaps``), flattened to 2023-d
+               (evaluator.py:23-24),
   * IS       — exp(E KL(p(y|x) || p(y))) from the 1008-way logits head,
   * Prec/Rec — kNN-radius manifold estimation (k=3), batched pairwise
                distances (evaluator.py:205-360).
@@ -56,7 +58,7 @@ def build_extractors(weights_path=None, batch=100):
     class WithTaps(InceptionV3FID):
         @nn.compact
         def __call__(self, x):  # type: ignore[override]
-            # replicate parent forward but tap Mixed_6e
+            # replicate parent forward but tap the Mixed_6d output
             if self.resize_input:
                 B, H, W, C = x.shape
                 x = jax.image.resize(x, (B, 299, 299, C), method="bilinear")
@@ -244,7 +246,12 @@ class ManifoldEstimator:
         as ARGUMENTS, never closed over: a jit-captured 50k x 2048 fp32
         constant ships inside the compile payload and the axon
         remote-compile tunnel rejects it (HTTP 413 at the 50k-rehearsal
-        scale — PERF.md round 3)."""
+        scale — PERF.md round 3).
+
+        ``feats`` may already be a device-resident fp32 array (e.g. the
+        same matrix passed as an operand in ``manifold_radii``) —
+        ``jnp.asarray`` is then a no-op, so the ~400 MB 50k x 2048
+        matrix is never held twice on device."""
         import jax.numpy as jnp
 
         f = jnp.asarray(feats, jnp.float32)
@@ -278,7 +285,9 @@ class ManifoldEstimator:
             f = jnp.asarray(feats, jnp.float32)
             sq = jnp.sum(f * f, axis=1)
             rb = min(self.row_batch, len(feats))
-            return self._row_blocks(feats, block, rb, f, sq
+            # pass the device array as the row source too — _row_blocks'
+            # asarray is then a no-op (one device copy, not two)
+            return self._row_blocks(f, block, rb, f, sq
                                     ).astype(np.float64)
 
         n = len(feats)

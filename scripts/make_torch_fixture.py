@@ -133,9 +133,16 @@ def main():
     ckpt_path = os.environ.get("DXMI_FIXTURE_CKPT",
                                "/tmp/fixture_train_ckpt.pt")
     ckpt_every = int(os.environ.get("DXMI_FIXTURE_CKPT_EVERY", "50"))
+    run_meta = {"seed": SEED, "n_iters": N_ITERS,
+                "arch": (T, RES, CH, NH, B)}
     start_it = 0
     if os.path.exists(ckpt_path):
         ck = torch.load(ckpt_path, weights_only=False)
+        ck_meta = ck.get("run_meta")
+        if ck_meta != run_meta:
+            raise SystemExit(
+                f"stale checkpoint {ckpt_path}: run_meta {ck_meta} != "
+                f"current {run_meta}; delete it to restart from scratch")
         net.load_state_dict(ck["net"])
         value.load_state_dict(ck["value"])
         opt.load_state_dict(ck["opt"])
@@ -167,7 +174,8 @@ def main():
                         "opt_v": opt_v.state_dict(),
                         "torch_rng": torch.get_rng_state(),
                         "np_rng": rng.bit_generator.state,
-                        "iter": it},
+                        "iter": it,
+                        "run_meta": run_meta},
                        ckpt_path + ".tmp")
             os.replace(ckpt_path + ".tmp", ckpt_path)
 
@@ -266,6 +274,10 @@ data:
     total = sum(os.path.getsize(os.path.join(OUT, f))
                 for f in os.listdir(OUT))
     print(f"fixture written to {OUT} ({total/1e6:.2f} MB)")
+    # the scratch checkpoint is only for crash recovery of THIS run; a
+    # later regeneration must not silently resume from it
+    if os.path.exists(ckpt_path):
+        os.remove(ckpt_path)
 
 
 if __name__ == "__main__":

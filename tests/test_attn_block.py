@@ -251,3 +251,84 @@ def test_fused_batch_blocked_bf16_single_head():
     err = (np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
            .mean() / (np.abs(np.asarray(ref, np.float32)).mean() + 1e-8))
     assert err < 2e-2, err
+
+
+# ---------------------------------------------------------------------------
+# int8-native fused block (W8A8 qkv/proj epilogues in-kernel)
+
+
+def test_fused_int8_kernel_matches_int8_reference():
+    """_kernel_i8 (interpret) vs attn_block_int8_reference: the same
+    quantization math (per-input-channel act scales folded into the
+    weights, per-output-channel symmetric int8, int32 accumulation) must
+    agree to fp32 epilogue rounding."""
+    from dxmi_tpu.ops.attn_block import (attn_block_int8_reference,
+                                         fused_attn_block_int8)
+
+    x, gs, gb, wq, bq, wp, bp = _mk(seed=3)
+    # realistic calibrated scales: channel amax / 127 of the actual
+    # post-GN / post-attention activations
+    ref_fp = attn_block_reference(x, gs, gb, wq, bq, wp, bp, num_heads=2)
+    sa_q = jnp.full((x.shape[-1],), 0.03, jnp.float32)
+    sa_p = jnp.full((x.shape[-1],), 0.02, jnp.float32)
+    ref = attn_block_int8_reference(x, gs, gb, wq, bq, wp, bp, sa_q, sa_p,
+                                    num_heads=2)
+    out = fused_attn_block_int8(x, gs, gb, wq, bq, wp, bp, sa_q, sa_p,
+                                num_heads=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    # and int8 vs fp drift stays in the expected W8A8 class (<2% rel)
+    rel = (np.abs(np.asarray(out) - np.asarray(ref_fp)).mean()
+           / (np.abs(np.asarray(ref_fp)).mean() + 1e-8))
+    assert rel < 2e-2, rel
+
+
+def test_fused_int8_bf16_class():
+    from dxmi_tpu.ops.attn_block import (attn_block_int8_reference,
+                                         fused_attn_block_int8)
+
+    x, gs, gb, wq, bq, wp, bp = _mk(dtype=jnp.bfloat16, seed=4)
+    sa_q = jnp.full((x.shape[-1],), 0.03, jnp.float32)
+    sa_p = jnp.full((x.shape[-1],), 0.02, jnp.float32)
+    ref = attn_block_int8_reference(x, gs, gb, wq, bq, wp, bp, sa_q, sa_p,
+                                    num_heads=2)
+    out = fused_attn_block_int8(x, gs, gb, wq, bq, wp, bp, sa_q, sa_p,
+                                num_heads=2, interpret=True)
+    err = (np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
+           .mean() / (np.abs(np.asarray(ref, np.float32)).mean() + 1e-8))
+    assert err < 2e-2, err
+
+
+def test_adm_attention_quant_static_calibrate_and_apply(monkeypatch):
+    """AttentionBlockADM(quant='static', attn_impl='fused'): calibration
+    records per-channel scales in 'quant_scales'; the int8 apply then
+    matches the einsum fp path within W8A8 drift."""
+    monkeypatch.setenv("DXMI_FUSED_ATTN_FORCE", "1")
+    from dxmi_tpu.models.unet_adm import AttentionBlockADM
+
+    B, H, W, C, nh = 2, 16, 16, 128, 2
+    x = jax.random.normal(jax.random.key(0), (B, H, W, C), jnp.float32)
+    blk = AttentionBlockADM(num_heads=nh, attn_impl="fused", quant="static")
+    variables = blk.init(jax.random.key(1), x)
+    p = jax.tree.map(
+        lambda a: a + 0.02 * jax.random.normal(jax.random.key(2), a.shape),
+        variables["params"])
+
+    # calibration pass: mutable quant_scales, full-precision forward
+    out_cal, upd = blk.apply({"params": p,
+                              "quant_scales": variables["quant_scales"]},
+                             x, mutable=["quant_scales"])
+    scales = upd["quant_scales"]
+    assert float(jnp.max(scales["attn_act_scale"])) > 0
+    assert float(jnp.max(scales["attn_proj_scale"])) > 0
+
+    ein = AttentionBlockADM(num_heads=nh, attn_impl="einsum")
+    out_fp = ein.apply({"params": p}, x)
+    # calibration forward IS the fp path
+    np.testing.assert_allclose(np.asarray(out_cal), np.asarray(out_fp),
+                               rtol=2e-4, atol=2e-4)
+
+    out_i8 = blk.apply({"params": p, "quant_scales": scales}, x)
+    rel = (np.abs(np.asarray(out_i8) - np.asarray(out_fp)).mean()
+           / (np.abs(np.asarray(out_fp)).mean() + 1e-8))
+    assert 0 < rel < 2e-2, rel

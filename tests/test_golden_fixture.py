@@ -2,7 +2,7 @@
 
 ``tests/fixtures/torch_rundir_t10/`` was produced by
 ``scripts/make_torch_fixture.py``: the REFERENCE trainer
-(/root/reference/models/DxMI/trainer.py) genuinely trained for 150 CPU
+(/root/reference/models/DxMI/trainer.py) genuinely trained for 3,000 CPU
 steps (T=10 VARSampler + unet_small + IGEBM value) on structured
 synthetic data, then saved the reference run-dir contract
 (config.yaml + sampler_best.pth + value_best.pth,
