@@ -101,7 +101,12 @@ def test_fsdp_cond_step_at_scale():
            "opt": state.opt_state_sampler}
     total = _bytes_total(big)
     per = _bytes_per_device(big)
-    assert sum(per.values()) == total  # sharded, never duplicated
+    # the big leaves shard exactly once across devices; leaves under
+    # fsdp's min_size (gn scales, biases, counters) replicate, so the
+    # per-device sum exceeds `total` only by 7 extra copies of that
+    # small replicated tail
+    replicated_excess = sum(per.values()) - total
+    assert 0 <= replicated_excess < 0.05 * total, replicated_excess
     worst = max(per.values())
     # >= 100M fp32 params + 2 RAdam moments ≈ 3 * 400MB; small replicated
     # leaves (gn scales, biases, log_betas, radam counters) give slack
