@@ -8,8 +8,10 @@ tests/test_upsample_phase.py, tests/test_adm_phase_up.py), so they are
 opt-in for training like bf16 itself is.
 
 One variant per process:
-  python scripts/bench_train_r3.py base    # parity defaults (repro 268ms)
-  python scripts/bench_train_r3.py levers  # bf16 torso + GN/phase/nomax
+  python scripts/bench_train_r3.py base       # parity defaults (repro 268ms)
+  python scripts/bench_train_r3.py levers     # bf16 torso + GN/phase/nomax
+  python scripts/bench_train_r3.py levers_c2  # + sample_chunks=2
+  python scripts/bench_train_r3.py levers_c4  # + sample_chunks=4
 """
 import os
 import sys
@@ -19,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import _bench_common  # noqa: F401
 
 VARIANT = sys.argv[1] if len(sys.argv) > 1 else "base"
-if VARIANT == "levers":
+if VARIANT.startswith("levers"):
     os.environ["DXMI_GN_STATS"] = "bf16_onepass"
 
 import jax
@@ -36,7 +38,7 @@ B, T = 128, 10
 
 def main():
     kw = {}
-    if VARIANT == "levers":
+    if VARIANT.startswith("levers"):
         kw = dict(dtype=jnp.bfloat16, softmax_f32=False,
                   softmax_nomax=True, up_impl="phase")
     net = UNetSmall(ch=128, out_ch=3, ch_mult=(1, 2, 2, 2),
@@ -46,9 +48,10 @@ def main():
                          trainable_beta="fix_last")
     value = TimeIndependentValue(net=IGEBMEncoder(nh=128, keepdim=False,
                                                   learn_out_scale=True))
+    chunks = int(VARIANT.rsplit("_c", 1)[1]) if "_c" in VARIANT else 1
     trainer = DxMITrainer(batchsize=B, tau1=0.1, tau2=0.01, gamma=1.0,
                           n_timesteps=T, use_sampler_beta=True,
-                          adavelreg=0.99)
+                          adavelreg=0.99, sample_chunks=chunks)
     trainer.set_models(sampler, value, lr=1e-7, v_lr=1e-5, beta_lr=1e-5)
 
     sp = sampler.init_params(jax.random.key(0))

@@ -86,8 +86,13 @@ def test_sigma_grid_matches_reference(rundir, sampler_and_params):
     (openai_diffusion.py:29-37) vs our KarrasSchedule."""
     _, golden = rundir
     sampler, _ = sampler_and_params
-    np.testing.assert_allclose(np.asarray(sampler.sigmas),
-                               golden["sigmas_grid"], rtol=1e-6, atol=1e-6)
+    grid = golden["sigmas_grid"]
+    # torch's get_sigmas_karras appends the terminal 0 (length T+1) and
+    # computes the ramp in a dtype chain that differs from ours at the
+    # ~2e-7 rel level; our .sigmas property holds the T live steps
+    assert grid[-1] == 0.0
+    np.testing.assert_allclose(np.asarray(sampler.sigmas), grid[:-1],
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_trained_weight_trajectory_parity(rundir, sampler_and_params):
