@@ -53,9 +53,13 @@ def main():
                    help="also pack samples into an npz (evaluator input)")
     p.add_argument("--int8", action="store_true",
                    help="int8 W8A8 sampling: static activation scales "
-                        "calibrated from the loaded checkpoint "
-                        "(with the fused attention block: 73.5 img/s "
-                        "ImageNet64 at batch 16, PERF.md)")
+                        "calibrated from the loaded checkpoint; with the "
+                        "fused attention kernel this also runs the "
+                        "attention qkv/proj matmuls W8A8 in-kernel "
+                        "(81.2 img/s ImageNet64 at batch 32, zero "
+                        "incremental drift on the trained ADM fixture — "
+                        "PERF.md round 4; DXMI_QUANT_ATTN=0 opts the "
+                        "attention part out)")
     p.add_argument("--attn_impl", default="fused",
                    choices=["fused", "flash", "einsum"],
                    help="attention path for generation; 'fused' = the "

@@ -194,3 +194,19 @@ def test_create_factory_attn_impl_env(monkeypatch):
                           attention_resolutions="8", channel_mult="1,2",
                           use_fp16=True)
     assert net.attn_impl == "einsum"
+
+
+def test_create_factory_quant_attn_default(monkeypatch):
+    """int8-native fused attention defaults ON exactly when the
+    static-int8 fused path is selected (PERF.md r4 gate); DXMI_QUANT_ATTN=0
+    opts out."""
+    mk = lambda **kw: create_unet_adm(image_size=16, num_channels=32,
+                                      num_res_blocks=1,
+                                      attention_resolutions="8",
+                                      channel_mult="1,2", **kw)
+    monkeypatch.delenv("DXMI_QUANT_ATTN", raising=False)
+    assert mk(quant_int8="static", attn_impl="fused").quant_attn == "static"
+    assert mk(quant_int8="static", attn_impl="flash").quant_attn is False
+    assert mk(quant_int8=False, attn_impl="fused").quant_attn is False
+    monkeypatch.setenv("DXMI_QUANT_ATTN", "0")
+    assert mk(quant_int8="static", attn_impl="fused").quant_attn is False

@@ -56,13 +56,17 @@ def build(cfg, net_overrides=None):
                        v_lr=float(cfg["training"]["v_lr"]),
                        beta_lr=float(cfg["training"].get("beta_lr") or
                                      cfg["training"]["lr"]))
-    # auto-chunk the trajectory-sampling phase down to the measured
-    # batch-64 throughput optimum (PERF.md; +9% on the phase at 128->2x64)
-    # unless the config pins trainer.sample_chunks explicitly
+    # auto-chunk the trajectory-sampling phase from the round-4 in-step
+    # A/Bs (scripts/bench_train_chunked.py + bench_train_r3.py levers_cN,
+    # PERF.md): at global batch 128, 32-sized chunks win for the fp32
+    # parity step (270/248/242 ms for 128/64/32) but 64-sized chunks win
+    # under --fast_levers' bf16 torso (199.6 vs 205.8 ms) — residency
+    # shifts with the compute dtype. A config trainer.sample_chunks pins.
     if trainer.sample_chunks == 1 and "sample_chunks" not in cfg["trainer"]:
         b = trainer.batchsize
-        if b > 64 and b % 64 == 0:
-            trainer.sample_chunks = b // 64
+        opt = 64 if net_overrides else 32
+        if b > opt and b % opt == 0:
+            trainer.sample_chunks = b // opt
     return sampler, value, trainer
 
 
