@@ -46,13 +46,13 @@ def print0(*a, **k):
         print(*a, **k, flush=True)
 
 
-def build_sampler(cfg, key):
+def build_sampler(cfg, key, up_impl=None):
     dcfg = dict(cfg["diffusion"])
     sigma_min = dcfg.pop("sigma_min", 0.002)
     sigma_max = dcfg.pop("sigma_max", 80.0)
     weight_schedule = dcfg.pop("weight_schedule", "uniform")
     distillation = dcfg.pop("distillation", False)
-    net = create_unet_adm(**dcfg)
+    net = create_unet_adm(**dcfg, up_impl=up_impl)
     denoiser = KarrasDenoiser(sigma_min=sigma_min, sigma_max=sigma_max,
                               weight_schedule=weight_schedule,
                               distillation=distillation)
@@ -113,6 +113,13 @@ def main():
     p.add_argument("--resume", action="store_true",
                    help="resume full train state from the run dir")
     p.add_argument("--save_state_every", type=int, default=500)
+    p.add_argument("--up_impl", default=None,
+                   choices=["phase", "resize"],
+                   help="decoder upsample in TRAINING: 'phase' = the "
+                        "exact phase decomposition (1669.6 -> 1638.1 "
+                        "ms/step ImageNet64 cond, -1.9%%, PERF.md r4; "
+                        "gradients tested); default keeps reference op "
+                        "order (DXMI_UP_IMPL env also honored)")
     args, unknown = p.parse_known_args()
 
     d_cmd = cfglib.parse_nested_args(cfglib.parse_unknown_args(unknown))
@@ -129,7 +136,7 @@ def main():
     print0(f"SPMD over {mesh.devices.size} device(s)")
 
     key, bk = jax.random.split(key)
-    sampler, sampler_params = build_sampler(cfg, bk)
+    sampler, sampler_params = build_sampler(cfg, bk, up_impl=args.up_impl)
     value = instantiate(cfg["value"])
     trainer = instantiate(cfg["trainer"], batchsize=batchsize,
                           n_timesteps=cfg["sampler"]["n_timesteps"])
