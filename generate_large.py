@@ -71,7 +71,17 @@ def main():
                         "conv (exact algebra, 2.25x fewer MACs; +2.9%% "
                         "ImageNet64 / +6%% LSUN sampling, PERF.md); "
                         "'resize' = reference op order")
+    p.add_argument("--gn_stats", default="bf16_onepass",
+                   choices=["fp32", "bf16_onepass"],
+                   help="GroupNorm statistics formulation: bf16_onepass "
+                        "(bf16 reads, fp32 accumulation) is +7.4%% "
+                        "ImageNet64 / +11.1%% LSUN sampling with drift "
+                        "far below the reseed floor on the trained ADM "
+                        "fixture (PERF.md round 4); 'fp32' restores "
+                        "two-pass parity statistics")
     args, unknown = p.parse_known_args()
+    # read at TRACE time by ops/groupnorm — set before any jit below
+    os.environ["DXMI_GN_STATS"] = args.gn_stats
 
     cfg = cfglib.load_yaml(os.path.join(args.log_dir, "config.yaml"))
     cfg = cfglib.merge(cfg, cfglib.parse_nested_args(

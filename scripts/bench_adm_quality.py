@@ -101,16 +101,24 @@ def main():
         ("einsum_resize_B", dict(attn_impl="einsum", up_impl="resize"), 2),
         ("fused_resize_A", dict(attn_impl="fused", up_impl="resize"), 1),
         ("fused_phase_A", dict(attn_impl="fused", up_impl="phase"), 1),
+        ("fused_phase_gn_A",
+         dict(attn_impl="fused", up_impl="phase", gn="bf16_onepass"), 1),
         ("fused_phase_int8_A",
          dict(attn_impl="fused", up_impl="phase", quant=True), 1),
         ("fused_phase_int8_i8attn_A",
          dict(attn_impl="fused", up_impl="phase", quant=True,
               quant_attn=True), 1),
+        ("fused_phase_int8_i8attn_gn_A",
+         dict(attn_impl="fused", up_impl="phase", quant=True,
+              quant_attn=True, gn="bf16_onepass"), 1),
     ]
 
     stats = {}
     pixels = {}
     for name, kw, seed in variants:
+        # DXMI_GN_STATS is read at TRACE time, so a per-variant env set
+        # before the fresh jit selects the GN statistics formulation
+        os.environ["DXMI_GN_STATS"] = kw.pop("gn", "fp32")
         sampler = build(cfg, **kw)
         params = jax.tree.map(jnp.asarray, dict(params_np))
         if kw.get("quant"):
