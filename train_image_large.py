@@ -120,6 +120,13 @@ def main():
                         "ms/step ImageNet64 cond, -1.9%%, PERF.md r4; "
                         "gradients tested); default keeps reference op "
                         "order (DXMI_UP_IMPL env also honored)")
+    p.add_argument("--gn_stats", default=None,
+                   choices=["fp32", "bf16_onepass"],
+                   help="GroupNorm statistics in TRAINING: bf16_onepass "
+                        "+ --up_impl phase measured 1669.6 -> 1551.7 "
+                        "ms/step ImageNet64 cond (-7.1%%, PERF.md r4); "
+                        "default keeps fp32 parity stats (DXMI_GN_STATS "
+                        "env also honored)")
     args, unknown = p.parse_known_args()
 
     d_cmd = cfglib.parse_nested_args(cfglib.parse_unknown_args(unknown))
@@ -136,6 +143,8 @@ def main():
     print0(f"SPMD over {mesh.devices.size} device(s)")
 
     key, bk = jax.random.split(key)
+    if args.gn_stats:
+        os.environ["DXMI_GN_STATS"] = args.gn_stats
     sampler, sampler_params = build_sampler(cfg, bk, up_impl=args.up_impl)
     value = instantiate(cfg["value"])
     trainer = instantiate(cfg["trainer"], batchsize=batchsize,
