@@ -79,6 +79,31 @@ def _num_groups(C: int) -> int:
     return max(min(C // 4, 32), 1)
 
 
+class GN(nn.Module):
+    """GroupNorm with the same param tree as ``nn.GroupNorm`` ('scale'/
+    'bias') routed through ops/groupnorm.fused_group_norm, so the
+    DXMI_GN_STATS statistics formulations (notably bf16_onepass — the
+    +7%/+11% ADM sampling lever, PERF.md r4) reach the NCSN++/DDGAN
+    path too.  Default mode is two-pass fp32 statistics (same accuracy
+    class as flax's fp32-promoted one-pass; torch-parity tested)."""
+
+    num_groups: int
+    use_scale: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        from dxmi_tpu.ops.groupnorm import fused_group_norm
+
+        C = x.shape[-1]
+        scale = (self.param("scale", nn.initializers.ones, (C,))
+                 if self.use_scale else jnp.ones((C,), jnp.float32))
+        bias = (self.param("bias", nn.initializers.zeros, (C,))
+                if self.use_bias else jnp.zeros((C,), jnp.float32))
+        return fused_group_norm(x, scale, bias, self.num_groups, 1e-6,
+                                False)
+
+
 class AdaGN(nn.Module):
     """GroupNorm whose affine params come from the z embedding
     (the 'adagn' in ncsnpp_generator_adagn)."""
@@ -86,9 +111,9 @@ class AdaGN(nn.Module):
     @nn.compact
     def __call__(self, h, zemb):
         C = h.shape[-1]
-        h32 = nn.GroupNorm(num_groups=_num_groups(C), use_scale=False,
-                           use_bias=False, dtype=jnp.float32,
-                           name="gn")(h.astype(jnp.float32)).astype(h.dtype)
+        h32 = GN(num_groups=_num_groups(C), use_scale=False,
+                 use_bias=False,
+                 name="gn")(h.astype(jnp.float32)).astype(h.dtype)
         film = nn.Dense(2 * C, name="film")(zemb)
         scale, shift = jnp.split(film, 2, axis=-1)
         return h32 * (1.0 + scale[:, None, None, :]) + shift[:, None, None, :]
@@ -136,7 +161,7 @@ class AttnBlockSkip(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        h = nn.GroupNorm(num_groups=_num_groups(C), name="norm")(x)
+        h = GN(num_groups=_num_groups(C), name="norm")(x)
         q = _conv(self.quant, C, (1, 1), jnp.float32, "q",
                   padding=0)(h).reshape(B, H * W, C)
         k = _conv(self.quant, C, (1, 1), jnp.float32, "k",
@@ -239,7 +264,7 @@ class NCSNpp(nn.Module):
                 res *= 2
         assert not hs
 
-        h = nn.GroupNorm(num_groups=_num_groups(h.shape[-1]), name="norm_out")(h)
+        h = GN(num_groups=_num_groups(h.shape[-1]), name="norm_out")(h)
         h = jax.nn.silu(h)
         h = nn.Conv(cfg.num_channels, (3, 3), padding=1, name="conv_out")(h)
         return jnp.tanh(h) if cfg.use_tanh else h
