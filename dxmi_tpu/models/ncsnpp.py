@@ -54,7 +54,7 @@ def _fir_filter_2d() -> np.ndarray:
 def fir_downsample(x: jnp.ndarray) -> jnp.ndarray:
     """StyleGAN2-style FIR antialiased 2x downsample as a depthwise conv."""
     C = x.shape[-1]
-    k = jnp.asarray(_fir_filter_2d())[:, :, None, None]
+    k = jnp.asarray(_fir_filter_2d(), x.dtype)[:, :, None, None]
     k = jnp.tile(k, (1, 1, 1, C))  # HWIO with feature_group_count=C
     return jax.lax.conv_general_dilated(
         x, k, window_strides=(2, 2), padding=((1, 2), (1, 2)),
@@ -66,7 +66,7 @@ def fir_upsample(x: jnp.ndarray) -> jnp.ndarray:
     B, H, W, C = x.shape
     up = jnp.zeros((B, H * 2, W * 2, C), x.dtype)
     up = up.at[:, ::2, ::2, :].set(x)
-    k = jnp.asarray(_fir_filter_2d() * 4.0)[:, :, None, None]
+    k = jnp.asarray(_fir_filter_2d() * 4.0, x.dtype)[:, :, None, None]
     k = jnp.tile(k, (1, 1, 1, C))
     return jax.lax.conv_general_dilated(
         up, k, window_strides=(1, 1), padding=((2, 1), (2, 1)),
@@ -106,15 +106,18 @@ class GN(nn.Module):
 
 class AdaGN(nn.Module):
     """GroupNorm whose affine params come from the z embedding
-    (the 'adagn' in ncsnpp_generator_adagn)."""
+    (the 'adagn' in ncsnpp_generator_adagn).  Statistics honor
+    DXMI_GN_STATS (fp32 two-pass default; in bf16 compute the
+    bf16_onepass mode reads bf16 / accumulates fp32)."""
+
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, h, zemb):
         C = h.shape[-1]
         h32 = GN(num_groups=_num_groups(C), use_scale=False,
-                 use_bias=False,
-                 name="gn")(h.astype(jnp.float32)).astype(h.dtype)
-        film = nn.Dense(2 * C, name="film")(zemb)
+                 use_bias=False, name="gn")(h).astype(self.dtype)
+        film = nn.Dense(2 * C, dtype=self.dtype, name="film")(zemb)
         scale, shift = jnp.split(film, 2, axis=-1)
         return h32 * (1.0 + scale[:, None, None, :]) + shift[:, None, None, :]
 
@@ -126,11 +129,12 @@ class ResBlockBigGAN(nn.Module):
     dropout: float = 0.0
     skip_rescale: bool = True
     quant: Any = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb, zemb, *, deterministic: bool = True):
         in_ch = x.shape[-1]
-        h = AdaGN(name="norm1")(x, zemb)
+        h = AdaGN(dtype=self.dtype, name="norm1")(x, zemb)
         h = jax.nn.silu(h)
         if self.up:
             h = fir_upsample(h)
@@ -138,42 +142,44 @@ class ResBlockBigGAN(nn.Module):
         elif self.down:
             h = fir_downsample(h)
             x = fir_downsample(x)
-        h = _conv(self.quant, self.out_channels, (3, 3), jnp.float32,
+        h = _conv(self.quant, self.out_channels, (3, 3), self.dtype,
                   "conv1")(h)
-        h = h + nn.Dense(self.out_channels, name="temb_proj")(
+        h = h + nn.Dense(self.out_channels, dtype=self.dtype,
+                         name="temb_proj")(
             jax.nn.silu(temb))[:, None, None, :]
-        h = AdaGN(name="norm2")(h, zemb)
+        h = AdaGN(dtype=self.dtype, name="norm2")(h, zemb)
         h = jax.nn.silu(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = _conv(self.quant, self.out_channels, (3, 3), jnp.float32, "conv2",
+        h = _conv(self.quant, self.out_channels, (3, 3), self.dtype, "conv2",
                   kernel_init=nn.initializers.zeros)(h)
         if in_ch != self.out_channels or self.up or self.down:
-            x = _conv(self.quant, self.out_channels, (1, 1), jnp.float32,
+            x = _conv(self.quant, self.out_channels, (1, 1), self.dtype,
                       "shortcut", padding=0)(x)
-        out = x + h
+        out = x.astype(h.dtype) + h
         return out / np.sqrt(2.0) if self.skip_rescale else out
 
 
 class AttnBlockSkip(nn.Module):
     skip_rescale: bool = True
     quant: Any = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
         h = GN(num_groups=_num_groups(C), name="norm")(x)
-        q = _conv(self.quant, C, (1, 1), jnp.float32, "q",
+        q = _conv(self.quant, C, (1, 1), self.dtype, "q",
                   padding=0)(h).reshape(B, H * W, C)
-        k = _conv(self.quant, C, (1, 1), jnp.float32, "k",
+        k = _conv(self.quant, C, (1, 1), self.dtype, "k",
                   padding=0)(h).reshape(B, H * W, C)
-        v = _conv(self.quant, C, (1, 1), jnp.float32, "v",
+        v = _conv(self.quant, C, (1, 1), self.dtype, "v",
                   padding=0)(h).reshape(B, H * W, C)
         w = jax.nn.softmax(
             jnp.einsum("bqc,bkc->bqk", q, k) * (C ** -0.5), axis=-1)
         h = jnp.einsum("bqk,bkc->bqc", w, v).reshape(B, H, W, C)
-        h = _conv(self.quant, C, (1, 1), jnp.float32, "proj_out", padding=0,
+        h = _conv(self.quant, C, (1, 1), self.dtype, "proj_out", padding=0,
                   kernel_init=nn.initializers.zeros)(h)
-        out = x + h
+        out = x.astype(h.dtype) + h
         return out / np.sqrt(2.0) if self.skip_rescale else out
 
 
@@ -190,6 +196,9 @@ class NCSNpp(nn.Module):
     # keep the attention qkv/proj 1x1 convs in bf16 while the res blocks
     # run int8 (drift/throughput trade; same knob as UNetSmall)
     quant_skip_attn: bool = False
+    # compute dtype for the torso (params stay fp32); fp32 default is
+    # the parity setting, bf16 the measured TPU option (PERF.md r4)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, t, z, *, deterministic: bool = True):
@@ -199,49 +208,58 @@ class NCSNpp(nn.Module):
         temb_ch = nf * 4
 
         # z mapping network
-        zemb = z
+        zemb = z.astype(self.dtype)
         for i in range(cfg.n_mlp):
-            zemb = nn.Dense(cfg.z_emb_dim, name=f"z_mlp_{i}")(zemb)
+            zemb = nn.Dense(cfg.z_emb_dim, dtype=self.dtype,
+                            name=f"z_mlp_{i}")(zemb)
             zemb = jax.nn.silu(zemb)
 
         temb = timestep_embedding(t.astype(jnp.float32), nf)
-        temb = nn.Dense(temb_ch, name="temb_dense0")(temb)
-        temb = nn.Dense(temb_ch, name="temb_dense1")(jax.nn.silu(temb))
+        temb = nn.Dense(temb_ch, dtype=self.dtype,
+                        name="temb_dense0")(temb.astype(self.dtype))
+        temb = nn.Dense(temb_ch, dtype=self.dtype,
+                        name="temb_dense1")(jax.nn.silu(temb))
 
-        h = nn.Conv(nf, (3, 3), padding=1, name="conv_in")(x)
+        h = nn.Conv(nf, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv_in")(x.astype(self.dtype))
         hs = [h]
         res = cfg.image_size
         input_pyramid = x
         for i_level, mult in enumerate(cfg.ch_mult):
             for i_block in range(cfg.num_res_blocks):
                 h = ResBlockBigGAN(nf * mult, dropout=cfg.dropout, quant=self.quant_int8,
+                                   dtype=self.dtype,
                                    skip_rescale=cfg.skip_rescale,
                                    name=f"down_{i_level}_block_{i_block}")(
                     h, temb, zemb, deterministic=deterministic)
                 if res in cfg.attn_resolutions:
                     h = AttnBlockSkip(cfg.skip_rescale, quant=attn_quant,
+                                      dtype=self.dtype,
                                       name=f"down_{i_level}_attn_{i_block}")(h)
                 hs.append(h)
             if i_level != len(cfg.ch_mult) - 1:
                 h = ResBlockBigGAN(h.shape[-1], down=True, dropout=cfg.dropout, quant=self.quant_int8,
+                                   dtype=self.dtype,
                                    skip_rescale=cfg.skip_rescale,
                                    name=f"down_{i_level}_downsample")(
                     h, temb, zemb, deterministic=deterministic)
                 # progressive_input='residual' pyramid
                 input_pyramid = fir_downsample(input_pyramid)
-                pyr = nn.Conv(h.shape[-1], (1, 1),
-                              name=f"pyramid_{i_level}")(input_pyramid)
+                pyr = nn.Conv(h.shape[-1], (1, 1), dtype=self.dtype,
+                              name=f"pyramid_{i_level}")(
+                    input_pyramid.astype(self.dtype))
                 h = (h + pyr) / np.sqrt(2.0) if cfg.skip_rescale else h + pyr
                 hs.append(h)
                 res //= 2
 
         h = ResBlockBigGAN(h.shape[-1], dropout=cfg.dropout, quant=self.quant_int8,
-                           skip_rescale=cfg.skip_rescale,
+                           dtype=self.dtype, skip_rescale=cfg.skip_rescale,
                            name="mid_block_1")(h, temb, zemb,
                                                deterministic=deterministic)
-        h = AttnBlockSkip(cfg.skip_rescale, quant=attn_quant, name="mid_attn")(h)
+        h = AttnBlockSkip(cfg.skip_rescale, quant=attn_quant,
+                          dtype=self.dtype, name="mid_attn")(h)
         h = ResBlockBigGAN(h.shape[-1], dropout=cfg.dropout, quant=self.quant_int8,
-                           skip_rescale=cfg.skip_rescale,
+                           dtype=self.dtype, skip_rescale=cfg.skip_rescale,
                            name="mid_block_2")(h, temb, zemb,
                                                deterministic=deterministic)
 
@@ -249,15 +267,18 @@ class NCSNpp(nn.Module):
             for i_block in range(cfg.num_res_blocks + 1):
                 h = ResBlockBigGAN(nf * cfg.ch_mult[i_level],
                                    dropout=cfg.dropout, quant=self.quant_int8,
+                                   dtype=self.dtype,
                                    skip_rescale=cfg.skip_rescale,
                                    name=f"up_{i_level}_block_{i_block}")(
                     jnp.concatenate([h, hs.pop()], axis=-1), temb, zemb,
                     deterministic=deterministic)
                 if res in cfg.attn_resolutions:
                     h = AttnBlockSkip(cfg.skip_rescale, quant=attn_quant,
+                                      dtype=self.dtype,
                                       name=f"up_{i_level}_attn_{i_block}")(h)
             if i_level != 0:
                 h = ResBlockBigGAN(h.shape[-1], up=True, dropout=cfg.dropout, quant=self.quant_int8,
+                                   dtype=self.dtype,
                                    skip_rescale=cfg.skip_rescale,
                                    name=f"up_{i_level}_upsample")(
                     h, temb, zemb, deterministic=deterministic)
@@ -266,5 +287,6 @@ class NCSNpp(nn.Module):
 
         h = GN(num_groups=_num_groups(h.shape[-1]), name="norm_out")(h)
         h = jax.nn.silu(h)
-        h = nn.Conv(cfg.num_channels, (3, 3), padding=1, name="conv_out")(h)
+        h = nn.Conv(cfg.num_channels, (3, 3), padding=1,
+                    name="conv_out")(h.astype(jnp.float32))
         return jnp.tanh(h) if cfg.use_tanh else h

@@ -53,6 +53,22 @@ def main():
     shapes = [(64, 64), (96, 48), (128, 32)]
     bench("fp  ", s_fp, params, shapes)
 
+    if "--bf16" in sys.argv:
+        # round-4: bf16 compute dtype (params fp32) — pairs with
+        # DXMI_GN_STATS=bf16_onepass, which is inert on the fp32 torso
+        net_bf = NCSNpp(config=NCSNppArgs(), dtype=jnp.bfloat16)
+        s_bf = DDGANSampler(net_bf, n_timesteps=4, sample_shape=(3, 32, 32),
+                            trainable_beta="fix_last", use_z=True)
+        bench("bf16", s_bf, params, shapes)
+        net_bq = NCSNpp(config=NCSNppArgs(), dtype=jnp.bfloat16,
+                        quant_int8="static", quant_skip_attn=True)
+        s_bq = DDGANSampler(net_bq, n_timesteps=4, sample_shape=(3, 32, 32),
+                            trainable_beta="fix_last", use_z=True)
+        bq_params = s_bq.calibrate_quant(dict(params), jax.random.key(5),
+                                         n_sample=64, n_rounds=2)
+        bench("bf16+int8 skip_attn", s_bq, bq_params, shapes)
+        return
+
     net_q = NCSNpp(config=NCSNppArgs(), quant_int8="static")
     s_q = DDGANSampler(net_q, n_timesteps=4, sample_shape=(3, 32, 32),
                        trainable_beta="fix_last", use_z=True)

@@ -217,3 +217,25 @@ def test_ddgan_int8_skip_attn():
 
     full, skip = drift(), drift(quant_skip_attn=True)
     assert skip <= full * 1.05 + 1e-6, (full, skip)
+
+
+def test_ncsnpp_bf16_dtype_close():
+    """dtype=bf16 torso (params fp32) stays in the bf16 drift class of
+    the fp32 forward; output dtype is fp32 either way."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dxmi_tpu.models.ncsnpp import NCSNpp, NCSNppArgs
+
+    cfg = NCSNppArgs(nf=32, ch_mult=(1, 2), num_res_blocks=1,
+                     image_size=16, attn_resolutions=(8,))
+    x = jax.random.normal(jax.random.key(0), (2, 16, 16, 3))
+    t = jnp.array([1, 2])
+    z = jax.random.normal(jax.random.key(1), (2, 100))
+    net = NCSNpp(config=cfg)
+    p = net.init(jax.random.key(2), x, t, z)
+    a = np.asarray(net.apply(p, x, t, z))
+    b = np.asarray(NCSNpp(config=cfg, dtype=jnp.bfloat16).apply(p, x, t, z))
+    assert b.dtype == np.float32
+    rel = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-8)
+    assert rel < 0.02, rel
