@@ -46,9 +46,12 @@ def main():
                     in_channels=3, resolution=32, **kw)
     sampler = VARSampler(net, n_timesteps=T, sample_shape=(3, 32, 32),
                          trainable_beta="fix_last")
+    vkw = {"dtype": jnp.bfloat16} if "_v" in VARIANT else {}
     value = TimeIndependentValue(net=IGEBMEncoder(nh=128, keepdim=False,
-                                                  learn_out_scale=True))
+                                                  learn_out_scale=True,
+                                                  **vkw))
     chunks = int(VARIANT.rsplit("_c", 1)[1]) if "_c" in VARIANT else 1
+    # variants: base | levers | levers_c2 | levers_c4 | levers_v_c2 (+bf16 value)
     trainer = DxMITrainer(batchsize=B, tau1=0.1, tau2=0.01, gamma=1.0,
                           n_timesteps=T, use_sampler_beta=True,
                           adavelreg=0.99, sample_chunks=chunks)

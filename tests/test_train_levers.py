@@ -17,9 +17,11 @@ def test_build_levers_overrides_and_chunking():
 
     overrides = dict(dtype=jnp.bfloat16, softmax_f32=False,
                      softmax_nomax=True, up_impl="phase")
-    sampler, value, trainer = tc.build(_cfg(), overrides)
+    sampler, value, trainer = tc.build(_cfg(), overrides,
+                                       dict(dtype=jnp.bfloat16))
     net = sampler.net
     assert net.dtype == jnp.bfloat16
+    assert value.net.dtype == jnp.bfloat16
     assert net.softmax_nomax and not net.softmax_f32
     assert net.up_impl == "phase"
     # bf16 levers pair with 64-chunks (199.6 vs 205.8 ms measured)
