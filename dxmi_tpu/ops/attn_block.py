@@ -82,6 +82,17 @@ def fused_attn_available(seq_len: int, channels: int, num_heads: int) -> bool:
             and channels <= 768 and seq_len * channels <= 1024 * 384)
 
 
+def _softmax_rows(lg, nomax: bool):
+    """Row softmax over fp32 logits; ``nomax`` drops the max-subtract
+    pass (exact math: the shift is a no-op and the scaled logits sit
+    orders below fp32 exp overflow — the UNetSmall softmax_nomax
+    argument, PERF.md r3, applied in-kernel)."""
+    if nomax:
+        e = jnp.exp(lg)
+        return e / jnp.sum(e, axis=-1, keepdims=True)
+    return jax.nn.softmax(lg, axis=-1)
+
+
 def attn_block_reference(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
                          num_heads: int, eps: float = 1e-5):
     """Pure-JAX reference of the fused block (same math as
@@ -113,7 +124,7 @@ def attn_block_reference(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
 
 def _kernel(x_ref, gs_ref, gb_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
             bv_ref, wp_ref, bp_ref, m_ref, e_ref, o_ref, *, nh: int,
-            eps: float, qb: int):
+            eps: float, qb: int, nomax: bool = False):
     x = x_ref[0]                                    # (S, C)
     S, C = x.shape
     d = C // nh
@@ -150,7 +161,7 @@ def _kernel(x_ref, gs_ref, gb_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
             lg = jax.lax.dot_general(
                 qh[r0:r0 + qb], kh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)          # (qb, S) fp32
-            w = jax.nn.softmax(lg, axis=-1).astype(dt)
+            w = _softmax_rows(lg, nomax).astype(dt)
             tiles.append(jnp.dot(w, vh,
                                  preferred_element_type=jnp.float32)
                          .astype(dt))
@@ -165,7 +176,7 @@ def _kernel(x_ref, gs_ref, gb_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
 
 def _kernel_bb(x_ref, gs_ref, gb_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
                m_ref, e_ref, o_ref, *, nh: int, eps: float, qb: int,
-               bb: int):
+               bb: int, nomax: bool = False):
     """Batch-blocked variant: one program normalizes and projects BB batch
     elements at once, so the qkv/proj matmuls run at (BB*S, C) rows — MXU
     utilization the per-element kernel (grid=(B,)) never reaches at the
@@ -209,7 +220,7 @@ def _kernel_bb(x_ref, gs_ref, gb_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
                 lg = jax.lax.dot_general(
                     qh[r0:r0 + qb], kh, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                w = jax.nn.softmax(lg, axis=-1).astype(dt)
+                w = _softmax_rows(lg, nomax).astype(dt)
                 tiles.append(jnp.dot(w, vh,
                                      preferred_element_type=jnp.float32)
                              .astype(dt))
@@ -257,7 +268,8 @@ def attn_block_int8_reference(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj,
 
 def _kernel_i8(x_ref, gs_ref, gb_ref, wqkv_ref, swq_ref, isa_q_ref,
                bqkv_ref, wp_ref, swp_ref, isa_p_ref, bp_ref, m_ref, e_ref,
-               o_ref, *, nh: int, eps: float, qb: int):
+               o_ref, *, nh: int, eps: float, qb: int,
+               nomax: bool = False):
     """int8-native fused block: the qkv/proj matmuls run int8 x int8 ->
     int32 on the MXU (2x the bf16 rate on v5e) with the quantize/dequant
     epilogues fused in-VMEM.  GN stats fp32, attention core bf16 — the
@@ -306,7 +318,7 @@ def _kernel_i8(x_ref, gs_ref, gb_ref, wqkv_ref, swq_ref, isa_q_ref,
             lg = jax.lax.dot_general(
                 qh[r0:r0 + qb], kh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)          # (qb, S) fp32
-            w = jax.nn.softmax(lg, axis=-1).astype(dt)
+            w = _softmax_rows(lg, nomax).astype(dt)
             tiles.append(jnp.dot(w, vh,
                                  preferred_element_type=jnp.float32)
                          .astype(dt))
@@ -344,7 +356,7 @@ def _prep_int8_mats(w_qkv, w_proj, sa_qkv, sa_proj):
 
 def _pallas_forward_i8(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
                        sa_qkv, sa_proj, nh: int, eps: float,
-                       interpret: bool):
+                       interpret: bool, nomax: bool = False):
     B, S, C = x.shape
     wq_i8, swq, isa_q, wp_i8, swp, isa_p = _prep_int8_mats(
         w_qkv, w_proj, sa_qkv, sa_proj)
@@ -352,7 +364,7 @@ def _pallas_forward_i8(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
     qb = min(S, 256)
     vec = pl.BlockSpec((1, C), lambda b: (0, 0))
     return pl.pallas_call(
-        functools.partial(_kernel_i8, nh=nh, eps=eps, qb=qb),
+        functools.partial(_kernel_i8, nh=nh, eps=eps, qb=qb, nomax=nomax),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, S, C), lambda b: (b, 0, 0)),
@@ -379,11 +391,11 @@ def _pallas_forward_i8(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_op_i8(nh: int, eps: float, interpret: bool):
+def _make_op_i8(nh: int, eps: float, interpret: bool, nomax: bool = False):
     @jax.custom_vjp
     def op(x, gs, gb, wq, bq, wp, bp, saq, sap):
         return _pallas_forward_i8(x, gs, gb, wq, bq, wp, bp, saq, sap,
-                                  nh, eps, interpret)
+                                  nh, eps, interpret, nomax)
 
     def fwd(x, gs, gb, wq, bq, wp, bp, saq, sap):
         return op(x, gs, gb, wq, bq, wp, bp, saq, sap), (
@@ -414,7 +426,8 @@ def fused_attn_block_int8(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj,
     gate as :func:`fused_attn_available`."""
     if interpret is None:
         interpret = not _tpu_backend()
-    return _make_op_i8(int(num_heads), float(eps), bool(interpret))(
+    nomax = os.environ.get("DXMI_FUSED_NOMAX") == "1"
+    return _make_op_i8(int(num_heads), float(eps), bool(interpret), nomax)(
         x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
         jnp.asarray(sa_qkv), jnp.asarray(sa_proj))
 
@@ -430,7 +443,8 @@ def _group_mats(C: int, S: int, groups: int = 32):
 
 
 def _pallas_forward(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
-                    nh: int, eps: float, interpret: bool, bb: int = 1):
+                    nh: int, eps: float, interpret: bool, bb: int = 1,
+                    nomax: bool = False):
     B, S, C = x.shape
     if bb > 1:
         while B % bb:
@@ -440,7 +454,8 @@ def _pallas_forward(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
         qb = min(S, 256)
         vec = pl.BlockSpec((1, C), lambda b: (0, 0))
         return pl.pallas_call(
-            functools.partial(_kernel_bb, nh=nh, eps=eps, qb=qb, bb=bb),
+            functools.partial(_kernel_bb, nh=nh, eps=eps, qb=qb, bb=bb,
+                              nomax=nomax),
             grid=(B // bb,),
             in_specs=[
                 pl.BlockSpec((bb, S, C), lambda b: (b, 0, 0)),
@@ -471,7 +486,7 @@ def _pallas_forward(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
     vec = pl.BlockSpec((1, C), lambda b: (0, 0))
     mat = pl.BlockSpec((C, C), lambda b: (0, 0))
     return pl.pallas_call(
-        functools.partial(_kernel, nh=nh, eps=eps, qb=qb),
+        functools.partial(_kernel, nh=nh, eps=eps, qb=qb, nomax=nomax),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, S, C), lambda b: (b, 0, 0)),
@@ -493,11 +508,12 @@ def _pallas_forward(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_op(nh: int, eps: float, interpret: bool, bb: int = 1):
+def _make_op(nh: int, eps: float, interpret: bool, bb: int = 1,
+             nomax: bool = False):
     @jax.custom_vjp
     def op(x, gs, gb, wq, bq, wp, bp):
         return _pallas_forward(x, gs, gb, wq, bq, wp, bp, nh, eps, interpret,
-                               bb)
+                               bb, nomax)
 
     def fwd(x, gs, gb, wq, bq, wp, bp):
         return op(x, gs, gb, wq, bq, wp, bp), (x, gs, gb, wq, bq, wp, bp)
@@ -532,6 +548,7 @@ def fused_attn_block(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
     if block_b is None:
         block_b = int(os.environ.get("DXMI_FUSED_ATTN_BB", "1"))
     block_b = int(block_b)
+    nomax = os.environ.get("DXMI_FUSED_NOMAX") == "1"
     if block_b > 1:
         B, S, C = x.shape
         cap = max(1, (1024 * 384) // (S * C))
@@ -539,5 +556,5 @@ def fused_attn_block(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
         while block_b > 1 and B % block_b:
             block_b -= 1
     return _make_op(int(num_heads), float(eps), bool(interpret),
-                    int(block_b))(
+                    int(block_b), nomax)(
         x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj)

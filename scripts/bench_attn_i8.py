@@ -63,8 +63,12 @@ def main():
         if p.startswith("b"):
             batch = int(p[1:])
     quant_attn = "static" if mode == "i8attn" else False
+    cfgd = dict(spec["cfg"])
+    if mode == "flash":
+        cfgd["attn_impl"] = "flash"
+        quant_attn = False
     net, diffusion = adm.create_model_and_diffusion(
-        **spec["cfg"], quant_attn=quant_attn)
+        **cfgd, quant_attn=quant_attn)
     s = EDMSampler(net, diffusion, sample_shape=spec["shape"],
                    n_timesteps=spec.get("T", 10),
                    class_cond=spec["classes"] > 0,

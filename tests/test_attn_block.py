@@ -332,3 +332,17 @@ def test_adm_attention_quant_static_calibrate_and_apply(monkeypatch):
     rel = (np.abs(np.asarray(out_i8) - np.asarray(out_fp)).mean()
            / (np.abs(np.asarray(out_fp)).mean() + 1e-8))
     assert 0 < rel < 2e-2, rel
+
+
+def test_fused_nomax_close(monkeypatch):
+    """DXMI_FUSED_NOMAX=1 (max-subtract pass dropped) stays within fp32
+    rounding of the standard softmax path — exact math, not an
+    approximation."""
+    from dxmi_tpu.ops import attn_block as ab
+
+    args = _mk(seed=5)
+    base = ab.fused_attn_block(*args, num_heads=2, interpret=True)
+    monkeypatch.setenv("DXMI_FUSED_NOMAX", "1")
+    out = ab.fused_attn_block(*args, num_heads=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               rtol=2e-5, atol=2e-5)
