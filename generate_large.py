@@ -82,6 +82,10 @@ def main():
     args, unknown = p.parse_known_args()
     # read at TRACE time by ops/groupnorm — set before any jit below
     os.environ["DXMI_GN_STATS"] = args.gn_stats
+    # in-kernel nomax softmax for the fused attention kernels: exact
+    # math (parity-tested), +3.6% ImageNet64 (PERF.md r4);
+    # DXMI_FUSED_NOMAX=0 opts out
+    os.environ.setdefault("DXMI_FUSED_NOMAX", "1")
 
     cfg = cfglib.load_yaml(os.path.join(args.log_dir, "config.yaml"))
     cfg = cfglib.merge(cfg, cfglib.parse_nested_args(
