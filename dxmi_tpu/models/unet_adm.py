@@ -255,7 +255,15 @@ class AttentionBlockADM(nn.Module):
             acc_t = jnp.float32 if self.softmax_f32 else self.dtype
             logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k * scale,
                                 preferred_element_type=acc_t)
-            w = jax.nn.softmax(logits.astype(acc_t), axis=-1).astype(self.dtype)
+            lg = logits.astype(acc_t)
+            if os.environ.get("DXMI_FUSED_NOMAX") == "1":
+                # exact-math max-pass removal (see ops/attn_block.
+                # _softmax_rows); reaches the einsum fallbacks the fused
+                # kernel's VMEM gate excludes (LSUN's C=1024 maps)
+                e = jnp.exp(lg)
+                w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(self.dtype)
+            else:
+                w = jax.nn.softmax(lg, axis=-1).astype(self.dtype)
             a = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(B, H, W, C)
         if calibrating:
             from dxmi_tpu.ops.quant import calib_channel_scale
