@@ -241,6 +241,14 @@ class AttentionBlockADM(nn.Module):
         if calibrating:
             from dxmi_tpu.ops.quant import calib_channel_scale
 
+            # Intended equivalence note (ADVICE r4): this records
+            # attn_act_scale from GroupNormADM under the ACTIVE
+            # DXMI_GN_STATS mode, while _kernel_i8 recomputes GN with
+            # its own fp32 one-pass mask-matmul stats.  The two
+            # formulations agree to bf16-class rounding (the
+            # bf16_onepass exactness tests), so the calibrated scales
+            # transfer; the trained-fixture drift gates (PERF.md r4)
+            # cover the composition.
             sa_q.value = jnp.maximum(
                 sa_q.value, calib_channel_scale(h.reshape(-1, C)))
         qkv = nn.Conv(3 * C, (1, 1), dtype=self.dtype, name="qkv")(h)
@@ -503,8 +511,10 @@ def create_unet_adm(image_size: int, num_channels: int, num_res_blocks: int,
         # measured +3.0% ImageNet64 sampling with NO incremental drift
         # over the int8 path itself on the trained ADM fixture (Frechet
         # 0.0068 vs int8's 0.0079, pixel 1.26% vs 1.25% — PERF.md round
-        # 4 gate table).  DXMI_QUANT_ATTN=0 opts out (=1 forces where
-        # the combination is explicit).
+        # 4 gate table).  DXMI_QUANT_ATTN=0 opts out; any other value
+        # (incl. =1) keeps the default-on behavior — the env var never
+        # forces the combination where quant_int8/attn_impl don't
+        # already select it (ADVICE r4).
         env = os.environ.get("DXMI_QUANT_ATTN")
         on = (env != "0") if env is not None else True
         quant_attn = ("static"

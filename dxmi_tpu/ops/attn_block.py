@@ -86,9 +86,15 @@ def _softmax_rows(lg, nomax: bool):
     """Row softmax over fp32 logits; ``nomax`` drops the max-subtract
     pass (exact math: the shift is a no-op and the scaled logits sit
     orders below fp32 exp overflow — the UNetSmall softmax_nomax
-    argument, PERF.md r3, applied in-kernel)."""
+    argument, PERF.md r3, applied in-kernel).
+
+    The clip bounds exp() away from overflow (lg > ~88 -> inf) and the
+    all-underflow 0/0 row (every lg < ~-103), which standard softmax is
+    immune to but a divergent/untrained checkpoint could hit; within
+    (-80, 80) — everything any tested fixture produces — the clip is the
+    identity, preserving the exact-math property (ADVICE r4)."""
     if nomax:
-        e = jnp.exp(lg)
+        e = jnp.exp(jnp.clip(lg, -80.0, 80.0))
         return e / jnp.sum(e, axis=-1, keepdims=True)
     return jax.nn.softmax(lg, axis=-1)
 
@@ -342,8 +348,11 @@ def _prep_int8_mats(w_qkv, w_proj, sa_qkv, sa_proj):
     from dxmi_tpu.ops.quant import quantize_per_channel
 
     C = w_qkv.shape[0]
-    sa_q = jnp.asarray(sa_qkv, jnp.float32).reshape(C)
-    sa_p = jnp.asarray(sa_proj, jnp.float32).reshape(C)
+    # floor matches calib_channel_scale's: an uncalibrated zeros((C,))
+    # scale (checkpoint saved without 'quant_scales') would otherwise
+    # produce 1/0 = inf here and silent NaN output (ADVICE r4)
+    sa_q = jnp.maximum(jnp.asarray(sa_qkv, jnp.float32).reshape(C), 1e-8)
+    sa_p = jnp.maximum(jnp.asarray(sa_proj, jnp.float32).reshape(C), 1e-8)
     wq_i8, swq = quantize_per_channel(
         w_qkv.astype(jnp.float32) * sa_q[:, None], axis=-1)
     wp_i8, swp = quantize_per_channel(

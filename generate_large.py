@@ -71,7 +71,7 @@ def main():
                         "conv (exact algebra, 2.25x fewer MACs; +2.9%% "
                         "ImageNet64 / +6%% LSUN sampling, PERF.md); "
                         "'resize' = reference op order")
-    p.add_argument("--gn_stats", default="bf16_onepass",
+    p.add_argument("--gn_stats", default=None,
                    choices=["fp32", "bf16_onepass"],
                    help="GroupNorm statistics formulation: bf16_onepass "
                         "(bf16 reads, fp32 accumulation) is +7.4%% "
@@ -80,8 +80,14 @@ def main():
                         "fixture (PERF.md round 4); 'fp32' restores "
                         "two-pass parity statistics")
     args, unknown = p.parse_known_args()
-    # read at TRACE time by ops/groupnorm — set before any jit below
-    os.environ["DXMI_GN_STATS"] = args.gn_stats
+    # read at TRACE time by ops/groupnorm — set before any jit below.
+    # Explicit --gn_stats wins; otherwise default bf16_onepass WITHOUT
+    # clobbering a user-set DXMI_GN_STATS env var (setdefault, matching
+    # DXMI_FUSED_NOMAX below and train_image_large — ADVICE r4).
+    if args.gn_stats is not None:
+        os.environ["DXMI_GN_STATS"] = args.gn_stats
+    else:
+        os.environ.setdefault("DXMI_GN_STATS", "bf16_onepass")
     # in-kernel nomax softmax for the fused attention kernels: exact
     # math (parity-tested), +3.6% ImageNet64 (PERF.md r4);
     # DXMI_FUSED_NOMAX=0 opts out

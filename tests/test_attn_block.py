@@ -346,3 +346,34 @@ def test_fused_nomax_close(monkeypatch):
     out = ab.fused_attn_block(*args, num_heads=2, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(base),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_nomax_clip_guards_extreme_logits(monkeypatch):
+    """ADVICE r4: the nomax branch clips logits to (-80, 80) so rows whose
+    fp32 logits would all underflow (0/0 = NaN) or overflow exp() stay
+    finite — the regime a divergent/untrained checkpoint can produce,
+    where standard softmax is safe."""
+    from dxmi_tpu.ops.attn_block import _softmax_rows
+
+    lg = jnp.array([[-200.0, -150.0, -180.0],   # all-underflow row
+                    [95.0, 100.0, 90.0],        # overflow row
+                    [0.5, -0.3, 0.1]])          # sane row
+    w = _softmax_rows(lg, nomax=True)
+    assert np.all(np.isfinite(np.asarray(w)))
+    np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, rtol=1e-6)
+    # sane rows are bit-identical to the unclipped formulation
+    ref = jnp.exp(lg[2]) / jnp.sum(jnp.exp(lg[2]))
+    np.testing.assert_array_equal(np.asarray(w[2]), np.asarray(ref))
+
+
+def test_int8_uncalibrated_scales_finite():
+    """ADVICE r4: zeros((C,)) quant scales (a checkpoint saved without
+    the 'quant_scales' collection) must not produce inf/NaN — the scale
+    floor in _prep_int8_mats matches calib_channel_scale's."""
+    from dxmi_tpu.ops.attn_block import fused_attn_block_int8
+
+    x, gs, gb, wq, bq, wp, bp = _mk(seed=6)
+    z = jnp.zeros((x.shape[-1],), jnp.float32)
+    out = fused_attn_block_int8(x, gs, gb, wq, bq, wp, bp, z, z,
+                                num_heads=2, interpret=True)
+    assert np.all(np.isfinite(np.asarray(out)))
