@@ -83,3 +83,34 @@ def pdf_8gaussian(x: np.ndarray, scale_factor: float = 1.0) -> np.ndarray:
     d2 = ((x - centers[None]) ** 2).sum(-1)
     comp = np.exp(-0.5 * d2 / std**2) / (2 * np.pi * std**2)
     return comp.mean(axis=1)
+
+
+def structured_class_images(n: int, res: int, n_class: int,
+                            seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Class-structured synthetic images in [-1, 1] NHWC + labels.
+
+    Per-class base gradient orientation + a class-colored blob — enough
+    label-conditional low-frequency signal that conditional nets can
+    LEARN the distribution (the same construction as the round-4 golden
+    ADM fixture's ``make_data``, scripts/make_torch_adm_fixture.py, so
+    native convergence runs train on the distribution family the torch
+    oracle was validated on).  Used by ``train_image_large --fake_data``
+    and the Cond convergence recipe (CONVERGENCE.md §7)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:res, 0:res].astype(np.float32) / max(res - 1, 1)
+    imgs = np.empty((n, res, res, 3), np.float32)
+    labels = rng.integers(0, max(n_class, 1), n).astype(np.int32)
+    dirs = [(1, 0), (0, 1), (1, 1), (1, -1), (-1, 1), (0, -1), (-1, 0),
+            (-1, -1)]
+    for i in range(n):
+        c = int(labels[i])
+        a, b = dirs[c % len(dirs)]
+        base = 0.5 + 0.35 * (a * xx + b * yy) / (abs(a) + abs(b))
+        cx, cy = rng.uniform(0.25, 0.75, 2)
+        blob = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / 0.03))
+        for ch in range(3):
+            w = 1.0 if ch == c % 3 else 0.3
+            imgs[i, :, :, ch] = np.clip(
+                base * rng.uniform(0.6, 1.0) + w * 0.5 * blob
+                + rng.normal(0, 0.02, (res, res)), 0, 1)
+    return 2.0 * imgs - 1.0, labels

@@ -33,7 +33,9 @@ import numpy as np
 from dxmi_tpu.ops import trig
 from dxmi_tpu.ops.attention import flash_available, flash_mha
 from dxmi_tpu.ops.attn_block import (fused_attn_available, fused_attn_block,
-                                     fused_attn_block_int8)
+                                     fused_attn_block_int8,
+                                     fused_attn_block_train,
+                                     fused_attn_bwd_available)
 
 
 def adm_timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
@@ -191,7 +193,10 @@ class AttentionBlockADM(nn.Module):
     # measures faster (ops/attention.py), einsum elsewhere; 'fused' = the
     # whole block (GN+qkv+MHA+proj+residual) as ONE Pallas kernel
     # (ops/attn_block.py) where its gate admits the shape, degrading to
-    # flash/einsum elsewhere.
+    # flash/einsum elsewhere; 'fused_train' = the fused kernel with its
+    # REAL pallas backward (fused_attn_block_train — dx + all parameter
+    # cotangents in one kernel), for training steps that differentiate
+    # through the block (degrades identically).
     attn_impl: str = "einsum"
     # 'static' + attn_impl='fused': W8A8 qkv/proj epilogues INSIDE the
     # fused kernel (ops/attn_block.fused_attn_block_int8) with calibrated
@@ -209,8 +214,11 @@ class AttentionBlockADM(nn.Module):
         d = C // nh
         sa_q = sa_p = None
         calibrating = False
-        if self.attn_impl == "fused" and fused_attn_available(S, C, nh):
-            q_static = self.quant == "static"
+        train_bwd = (self.attn_impl == "fused_train"
+                     and fused_attn_bwd_available(S, C, nh))
+        if (self.attn_impl == "fused" and fused_attn_available(S, C, nh)
+                ) or train_bwd:
+            q_static = self.quant == "static" and not train_bwd
             if q_static:
                 sa_q = self.variable("quant_scales", "attn_act_scale",
                                      lambda: jnp.zeros((C,), jnp.float32))
@@ -230,6 +238,10 @@ class AttentionBlockADM(nn.Module):
                         xs, gs, gb, kqkv.reshape(C, 3 * C), bqkv,
                         kproj.reshape(C, C), bproj,
                         sa_q.value, sa_p.value, nh)
+                elif train_bwd:
+                    y = fused_attn_block_train(
+                        xs, gs, gb, kqkv.reshape(C, 3 * C), bqkv,
+                        kproj.reshape(C, C), bproj, nh)
                 else:
                     y = fused_attn_block(xs, gs, gb, kqkv.reshape(C, 3 * C),
                                          bqkv, kproj.reshape(C, C), bproj,
@@ -256,7 +268,8 @@ class AttentionBlockADM(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
         scale = 1.0 / math.sqrt(math.sqrt(d))
-        if self.attn_impl in ("flash", "fused") and flash_available(S, d):
+        if (self.attn_impl in ("flash", "fused", "fused_train")
+                and flash_available(S, d)):
             a = flash_mha(q, k, v, sm_scale=scale * scale)
             a = a.astype(self.dtype).reshape(B, H, W, C)
         else:
@@ -267,8 +280,9 @@ class AttentionBlockADM(nn.Module):
             if os.environ.get("DXMI_FUSED_NOMAX") == "1":
                 # exact-math max-pass removal (see ops/attn_block.
                 # _softmax_rows); reaches the einsum fallbacks the fused
-                # kernel's VMEM gate excludes (LSUN's C=1024 maps)
-                e = jnp.exp(lg)
+                # kernel's VMEM gate excludes (LSUN's C=1024 maps).
+                # Same overflow/underflow clip as the kernel (ADVICE r4).
+                e = jnp.exp(jnp.clip(lg, -80.0, 80.0))
                 w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(self.dtype)
             else:
                 w = jax.nn.softmax(lg, axis=-1).astype(self.dtype)
@@ -491,9 +505,13 @@ def create_unet_adm(image_size: int, num_channels: int, num_res_blocks: int,
         # gates per-shape; einsum everywhere off-TPU. DXMI_FLASH_ATTN=0/1
         # forces either way.
         # DXMI_FUSED_ATTN=1 opts the big maps into the whole-block fused
-        # kernel (ops/attn_block.py), degrading to flash/einsum per shape.
+        # kernel (ops/attn_block.py), degrading to flash/einsum per shape;
+        # DXMI_FUSED_ATTN=train additionally uses the kernel's REAL
+        # pallas backward (training path).
         if os.environ.get("DXMI_FUSED_ATTN") == "1":
             attn_impl = "fused"
+        elif os.environ.get("DXMI_FUSED_ATTN") == "train":
+            attn_impl = "fused_train"
         else:
             env = os.environ.get("DXMI_FLASH_ATTN")
             if env is not None:

@@ -99,6 +99,82 @@ def _softmax_rows(lg, nomax: bool):
     return jax.nn.softmax(lg, axis=-1)
 
 
+def _softmax_cols(lg, nomax: bool):
+    """Column softmax (axis 0) for the TRANSPOSED-logits formulation —
+    same math as :func:`_softmax_rows` on lg.T, with the reductions
+    running down sublanes instead of across lanes."""
+    if nomax:
+        e = jnp.exp(jnp.clip(lg, -80.0, 80.0))
+        return e / jnp.sum(e, axis=0, keepdims=True)
+    m = jnp.max(lg, axis=0, keepdims=True)
+    e = jnp.exp(lg - m)
+    return e / jnp.sum(e, axis=0, keepdims=True)
+
+
+def _attn_core(q, k, v, nh: int, qb: int, nomax: bool, avt: int):
+    """Multi-head attention core shared by the fused kernels.  q and k
+    arrive pre-scaled (each by d**-1/4), all (S, C); returns a (S, C).
+
+    ``avt`` selects the AV-matmul formulation (PERF.md r5 MXU probe —
+    scripts/bench_mxu_k64.py):
+      0: row path — w (qb, S) @ v (S, d).  The (…, d=64) output pads the
+         MXU's 128 output lanes: measured SLOWER than the same MACs at
+         N=128, and 2.6x slower than the transposed form.
+      1: transposed — logits computed as lgT (S, qb) = k q_tile^T (same
+         K=d contraction cost), column softmax, aT (d, qb) = v^T wT with
+         the contraction over S on full lanes and d on the un-quantized
+         M dimension; one (C, S) -> (S, C) transpose at the end.
+      2: like 1 but v^T materialized once per head and the AV as a
+         canonical NN dot.
+    """
+    S, C = q.shape
+    d = C // nh
+    dt = q.dtype
+    if avt == 0:
+        heads = []
+        for i in range(nh):
+            qh = q[:, i * d:(i + 1) * d]
+            kh = k[:, i * d:(i + 1) * d]
+            vh = v[:, i * d:(i + 1) * d]
+            tiles = []
+            for r0 in range(0, S, qb):
+                lg = jax.lax.dot_general(
+                    qh[r0:r0 + qb], kh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (qb, S) fp32
+                w = _softmax_rows(lg, nomax).astype(dt)
+                tiles.append(jnp.dot(w, vh,
+                                     preferred_element_type=jnp.float32)
+                             .astype(dt))
+            heads.append(jnp.concatenate(tiles, axis=0) if len(tiles) > 1
+                         else tiles[0])
+        return jnp.concatenate(heads, axis=1) if nh > 1 else heads[0]
+
+    headsT = []
+    for i in range(nh):
+        qh = q[:, i * d:(i + 1) * d]
+        kh = k[:, i * d:(i + 1) * d]
+        vh = v[:, i * d:(i + 1) * d]
+        vT = vh.T if avt == 2 else None
+        tiles = []
+        for r0 in range(0, S, qb):
+            lgT = jax.lax.dot_general(
+                kh, qh[r0:r0 + qb], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (S, qb) fp32
+            wT = _softmax_cols(lgT, nomax).astype(dt)
+            if avt == 2:
+                tiles.append(jnp.dot(vT, wT,
+                                     preferred_element_type=jnp.float32)
+                             .astype(dt))                    # (d, qb)
+            else:
+                tiles.append(jax.lax.dot_general(
+                    vh, wT, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dt))
+        headsT.append(jnp.concatenate(tiles, axis=1) if len(tiles) > 1
+                      else tiles[0])                         # (d, S)
+    aT = jnp.concatenate(headsT, axis=0) if nh > 1 else headsT[0]
+    return aT.T                                              # (S, C)
+
+
 def attn_block_reference(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
                          num_heads: int, eps: float = 1e-5):
     """Pure-JAX reference of the fused block (same math as
@@ -130,7 +206,7 @@ def attn_block_reference(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
 
 def _kernel(x_ref, gs_ref, gb_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
             bv_ref, wp_ref, bp_ref, m_ref, e_ref, o_ref, *, nh: int,
-            eps: float, qb: int, nomax: bool = False):
+            eps: float, qb: int, nomax: bool = False, avt: int = 0):
     x = x_ref[0]                                    # (S, C)
     S, C = x.shape
     d = C // nh
@@ -156,24 +232,8 @@ def _kernel(x_ref, gs_ref, gb_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
     v = (jnp.dot(h, wv_ref[:], preferred_element_type=jnp.float32)
          .astype(dt) + bv_ref[:].astype(dt))
 
-    scale = 1.0 / math.sqrt(math.sqrt(d))
-    heads = []
-    for i in range(nh):
-        qh = q[:, i * d:(i + 1) * d] * jnp.asarray(scale, dt)
-        kh = k[:, i * d:(i + 1) * d] * jnp.asarray(scale, dt)
-        vh = v[:, i * d:(i + 1) * d]
-        tiles = []
-        for r0 in range(0, S, qb):
-            lg = jax.lax.dot_general(
-                qh[r0:r0 + qb], kh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)          # (qb, S) fp32
-            w = _softmax_rows(lg, nomax).astype(dt)
-            tiles.append(jnp.dot(w, vh,
-                                 preferred_element_type=jnp.float32)
-                         .astype(dt))
-        heads.append(jnp.concatenate(tiles, axis=0) if len(tiles) > 1
-                     else tiles[0])
-    a = jnp.concatenate(heads, axis=1) if nh > 1 else heads[0]   # (S, C)
+    scale = jnp.asarray(1.0 / math.sqrt(math.sqrt(d)), dt)
+    a = _attn_core(q * scale, k * scale, v, nh, qb, nomax, avt)  # (S, C)
 
     y = (jnp.dot(a, wp_ref[:], preferred_element_type=jnp.float32)
          .astype(dt) + bp_ref[:].astype(dt))
@@ -275,7 +335,7 @@ def attn_block_int8_reference(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj,
 def _kernel_i8(x_ref, gs_ref, gb_ref, wqkv_ref, swq_ref, isa_q_ref,
                bqkv_ref, wp_ref, swp_ref, isa_p_ref, bp_ref, m_ref, e_ref,
                o_ref, *, nh: int, eps: float, qb: int,
-               nomax: bool = False):
+               nomax: bool = False, avt: int = 0):
     """int8-native fused block: the qkv/proj matmuls run int8 x int8 ->
     int32 on the MXU (2x the bf16 rate on v5e) with the quantize/dequant
     epilogues fused in-VMEM.  GN stats fp32, attention core bf16 — the
@@ -314,23 +374,8 @@ def _kernel_i8(x_ref, gs_ref, gb_ref, wqkv_ref, swq_ref, isa_q_ref,
            * swq_ref[:] + bqkv_ref[:]).astype(dt)            # (S, 3C)
 
     scale = jnp.asarray(1.0 / math.sqrt(math.sqrt(d)), dt)
-    heads = []
-    for i in range(nh):
-        qh = qkv[:, i * d:(i + 1) * d] * scale
-        kh = qkv[:, C + i * d:C + (i + 1) * d] * scale
-        vh = qkv[:, 2 * C + i * d:2 * C + (i + 1) * d]
-        tiles = []
-        for r0 in range(0, S, qb):
-            lg = jax.lax.dot_general(
-                qh[r0:r0 + qb], kh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)          # (qb, S) fp32
-            w = _softmax_rows(lg, nomax).astype(dt)
-            tiles.append(jnp.dot(w, vh,
-                                 preferred_element_type=jnp.float32)
-                         .astype(dt))
-        heads.append(jnp.concatenate(tiles, axis=0) if len(tiles) > 1
-                     else tiles[0])
-    a = jnp.concatenate(heads, axis=1) if nh > 1 else heads[0]   # (S, C)
+    a = _attn_core(qkv[:, :C] * scale, qkv[:, C:2 * C] * scale,
+                   qkv[:, 2 * C:], nh, qb, nomax, avt)       # (S, C)
 
     a_i8 = jnp.clip(jnp.round(a.astype(jnp.float32) * isa_p_ref[:]),
                     -127, 127).astype(jnp.int8)
@@ -338,6 +383,272 @@ def _kernel_i8(x_ref, gs_ref, gb_ref, wqkv_ref, swq_ref, isa_q_ref,
                  preferred_element_type=jnp.int32).astype(jnp.float32)
          * swp_ref[:] + bp_ref[:]).astype(dt)
     o_ref[0] = x + y
+
+
+def _kernel_bwd(x_ref, ct_ref, gs_ref, gb_ref, wqkv_ref, bqkv_ref, wp_ref,
+                m_ref, e_ref, dx_ref, dgs_ref, dgb_ref, dwqkv_ref,
+                dbqkv_ref, dwp_ref, dbp_ref, *, nh: int, eps: float,
+                qb: int, nomax: bool):
+    """Fused BACKWARD of the attention block (VERDICT r4 task 2): one
+    program per batch element recomputes the forward intermediates in
+    VMEM (flash-style recompute — nothing but x and the cotangent is
+    read from HBM) and emits dx plus all parameter cotangents.
+
+    Derivation (y = x + proj(attn(qkv(GN(x)))), per head with
+    qs = q*s, ks = k*s, s = d**-1/4, lg = qs ks^T, w = softmax(lg),
+    a = w v):
+      da   = ct @ wp^T
+      dv_h = w_h^T da_h                (accumulated over q-row tiles)
+      dw_h = da_h v_h^T
+      dlg  = w * (dw - rowsum(dw * w))  (exact softmax jacobian)
+      dq_h = s * dlg ks ;  dk_h = s * dlg^T qs
+      dh   = sum_h [dq_h|dk_h|dv_h] @ W_head^T ; weight grads h^T dq...
+      GN backward in fp32 via the same mask-matmul group reductions as
+      the forward stats.
+    Parameter cotangents accumulate across the (sequential) TPU grid:
+    program 0 initializes, later programs +=.
+    """
+    x = x_ref[0]                                    # (S, C)
+    ct = ct_ref[0]
+    S, C = x.shape
+    d = C // nh
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    ctf = ct.astype(jnp.float32)
+
+    # recompute GN (forward formulation: mask matmuls, fp32)
+    sums = jnp.dot(xf, m_ref[:], preferred_element_type=jnp.float32)
+    mean_g = jnp.sum(sums, axis=0, keepdims=True)            # (1, G)
+    sq = jnp.dot(xf * xf, m_ref[:], preferred_element_type=jnp.float32)
+    var_g = jnp.sum(sq, axis=0, keepdims=True) - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.dot(mean_g, e_ref[:], preferred_element_type=jnp.float32)
+    inv_c = jnp.dot(inv_g, e_ref[:], preferred_element_type=jnp.float32)
+    hp = (xf - mean_c) * inv_c                               # (S, C) fp32
+    h = (hp * gs_ref[:] + gb_ref[:]).astype(dt)
+
+    qkv = (jnp.dot(h, wqkv_ref[:], preferred_element_type=jnp.float32)
+           .astype(dt) + bqkv_ref[:].astype(dt))     # (S, 3C)
+    da = jax.lax.dot_general(ct, wp_ref[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32
+                             ).astype(dt)            # ct @ wp^T  (S, C)
+
+    scale = jnp.asarray(1.0 / math.sqrt(math.sqrt(d)), dt)
+    first = pl.program_id(0) == 0
+    dh_acc = jnp.zeros((S, C), jnp.float32)
+    for i in range(nh):
+        qs = qkv[:, i * d:(i + 1) * d] * scale
+        ks = qkv[:, C + i * d:C + (i + 1) * d] * scale
+        vh = qkv[:, 2 * C + i * d:2 * C + (i + 1) * d]
+        dah = da[:, i * d:(i + 1) * d]
+        dv = jnp.zeros((S, d), jnp.float32)
+        dk = jnp.zeros((S, d), jnp.float32)
+        dwp_h = jnp.zeros((d, C), jnp.float32)
+        dq_tiles = []
+        for r0 in range(0, S, qb):
+            lg = jax.lax.dot_general(
+                qs[r0:r0 + qb], ks, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (qb, S)
+            w = _softmax_rows(lg, nomax)                     # fp32
+            wb = w.astype(dt)
+            dat = dah[r0:r0 + qb]
+            # a tile -> dwp rows for this head: (d, C) += a_t^T ct_t
+            a_t = jnp.dot(wb, vh, preferred_element_type=jnp.float32
+                          ).astype(dt)                       # (qb, d)
+            dwp_h += jax.lax.dot_general(
+                a_t, ct[r0:r0 + qb], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dv += jax.lax.dot_general(
+                wb, dat, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (S, d)
+            dwt = jax.lax.dot_general(
+                dat, vh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (qb, S)
+            dlg = w * (dwt - jnp.sum(dwt * w, axis=-1, keepdims=True))
+            dlgb = dlg.astype(dt)
+            dq_tiles.append(
+                jnp.dot(dlgb, ks, preferred_element_type=jnp.float32))
+            dk += jax.lax.dot_general(
+                dlgb, qs[r0:r0 + qb], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (S, d)
+        dq = (jnp.concatenate(dq_tiles, axis=0) if len(dq_tiles) > 1
+              else dq_tiles[0])
+        sf = jnp.float32(1.0 / math.sqrt(math.sqrt(d)))
+        dq = dq * sf
+        dk = dk * sf
+        # dh += dq @ Wq_h^T + dk @ Wk_h^T + dv @ Wv_h^T, and weight/bias
+        # cotangents for this head's three weight column blocks
+        for off, g in ((i * d, dq), (C + i * d, dk), (2 * C + i * d, dv)):
+            gb_ = g.astype(dt)
+            wslice = wqkv_ref[:, off:off + d]                # (C, d)
+            dh_acc += jax.lax.dot_general(
+                gb_, wslice, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dwqkv_blk = jax.lax.dot_general(
+                h, gb_, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (C, d)
+            dbqkv_blk = jnp.sum(g, axis=0, keepdims=True)    # (1, d)
+
+            @pl.when(first)
+            def _():
+                dwqkv_ref[:, off:off + d] = dwqkv_blk
+                dbqkv_ref[:, off:off + d] = dbqkv_blk
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                dwqkv_ref[:, off:off + d] += dwqkv_blk
+                dbqkv_ref[:, off:off + d] += dbqkv_blk
+
+        @pl.when(first)
+        def _():
+            dwp_ref[i * d:(i + 1) * d, :] = dwp_h
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            dwp_ref[i * d:(i + 1) * d, :] += dwp_h
+
+    dbp_b = jnp.sum(ctf, axis=0, keepdims=True)              # (1, C)
+    dgs_b = jnp.sum(dh_acc * hp, axis=0, keepdims=True)
+    dgb_b = jnp.sum(dh_acc, axis=0, keepdims=True)
+
+    # GN backward (group means via the same mask matmuls)
+    dhp = dh_acc * gs_ref[:]
+    g1 = jnp.sum(jnp.dot(dhp, m_ref[:],
+                         preferred_element_type=jnp.float32),
+                 axis=0, keepdims=True)                      # (1, G) means
+    g2 = jnp.sum(jnp.dot(dhp * hp, m_ref[:],
+                         preferred_element_type=jnp.float32),
+                 axis=0, keepdims=True)
+    g1c = jnp.dot(g1, e_ref[:], preferred_element_type=jnp.float32)
+    g2c = jnp.dot(g2, e_ref[:], preferred_element_type=jnp.float32)
+    dx = ctf + inv_c * (dhp - g1c - hp * g2c)
+    dx_ref[0] = dx.astype(dt)
+
+    @pl.when(first)
+    def _():
+        dgs_ref[:] = dgs_b
+        dgb_ref[:] = dgb_b
+        dbp_ref[:] = dbp_b
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dgs_ref[:] += dgs_b
+        dgb_ref[:] += dgb_b
+        dbp_ref[:] += dbp_b
+
+
+def _pallas_backward(x, ct, gn_scale, gn_bias, w_qkv, b_qkv, w_proj,
+                     nh: int, eps: float, interpret: bool, nomax: bool):
+    """Run ``_kernel_bwd`` over the batch grid; returns fp32 cotangents
+    (dx in x.dtype) for (x, gs, gb, w_qkv, b_qkv, w_proj, b_proj)."""
+    B, S, C = x.shape
+    m, e = _group_mats(C, S)
+    qb = min(S, _bwd_qb(S, C))
+    vec = pl.BlockSpec((1, C), lambda b: (0, 0))
+    outs = pl.pallas_call(
+        functools.partial(_kernel_bwd, nh=nh, eps=eps, qb=qb, nomax=nomax),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, S, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, S, C), lambda b: (b, 0, 0)),
+            vec, vec,
+            pl.BlockSpec((C, 3 * C), lambda b: (0, 0)),
+            pl.BlockSpec((1, 3 * C), lambda b: (0, 0)),
+            pl.BlockSpec((C, C), lambda b: (0, 0)),
+            pl.BlockSpec((C, 32), lambda b: (0, 0)),
+            pl.BlockSpec((32, C), lambda b: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, S, C), lambda b: (b, 0, 0)),
+            vec, vec,
+            pl.BlockSpec((C, 3 * C), lambda b: (0, 0)),
+            pl.BlockSpec((1, 3 * C), lambda b: (0, 0)),
+            pl.BlockSpec((C, C), lambda b: (0, 0)),
+            vec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, S, C), x.dtype),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((C, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, ct,
+      gn_scale.reshape(1, C).astype(jnp.float32),
+      gn_bias.reshape(1, C).astype(jnp.float32),
+      w_qkv.astype(x.dtype), b_qkv.reshape(1, 3 * C).astype(jnp.float32),
+      w_proj.astype(x.dtype), m, e)
+    return outs
+
+
+def _bwd_qb(S: int, C: int) -> int:
+    """q-row tile for the backward kernel: its VMEM working set carries
+    ~4 fp32 (qb, S) score tiles plus the fp32 dh accumulator, so the
+    tile shrinks at the big maps where the forward uses 256."""
+    return 128 if S * C > 512 * 384 else 256
+
+
+def fused_attn_bwd_available(seq_len: int, channels: int,
+                             num_heads: int) -> bool:
+    """Gate for the TRAINING (pallas-backward) fused block: forward gate
+    plus the backward kernel's own VMEM headroom (fp32 accumulators for
+    dh and the parameter cotangents live alongside the forward working
+    set)."""
+    return (fused_attn_available(seq_len, channels, num_heads)
+            and seq_len * channels <= 1024 * 384)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_op_train(nh: int, eps: float, interpret: bool,
+                   nomax: bool = False, avt: int = 0):
+    """fused forward + fused pallas BACKWARD (training path).  The
+    reference-recompute bwd in ``_make_op`` stays the default for
+    sampling-only callers (it is never invoked there)."""
+    @jax.custom_vjp
+    def op(x, gs, gb, wq, bq, wp, bp):
+        return _pallas_forward(x, gs, gb, wq, bq, wp, bp, nh, eps,
+                               interpret, 1, nomax, avt)
+
+    def fwd(x, gs, gb, wq, bq, wp, bp):
+        return op(x, gs, gb, wq, bq, wp, bp), (x, gs, gb, wq, bq, wp, bp)
+
+    def bwd(res, ct):
+        x, gs, gb, wq, bq, wp, bp = res
+        dx, dgs, dgb, dwq, dbq, dwp, dbp = _pallas_backward(
+            x, ct, gs, gb, wq, bq, wp, nh, eps, interpret, nomax)
+        return (dx,
+                dgs.reshape(gs.shape).astype(gs.dtype),
+                dgb.reshape(gb.shape).astype(gb.dtype),
+                dwq.astype(wq.dtype),
+                dbq.reshape(bq.shape).astype(bq.dtype),
+                dwp.astype(wp.dtype),
+                dbp.reshape(bp.shape).astype(bp.dtype))
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def fused_attn_block_train(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj,
+                           b_proj, num_heads: int, eps: float = 1e-5,
+                           interpret: bool | None = None):
+    """Fused attention block with a REAL fused backward (one Pallas
+    kernel for dx + all parameter cotangents, flash-style in-VMEM
+    recompute) — the training-path variant of :func:`fused_attn_block`
+    (whose reference-recompute vjp keeps sampling callers safe).  Gate
+    with :func:`fused_attn_bwd_available`.
+
+    Reference training hot path this serves:
+    train_image_large.py:248-269 + cm/unet.py:263-378."""
+    if interpret is None:
+        interpret = not _tpu_backend()
+    nomax = os.environ.get("DXMI_FUSED_NOMAX") == "1"
+    avt = int(os.environ.get("DXMI_FUSED_AVT", "0"))
+    return _make_op_train(int(num_heads), float(eps), bool(interpret),
+                          nomax, avt)(
+        x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj)
 
 
 def _prep_int8_mats(w_qkv, w_proj, sa_qkv, sa_proj):
@@ -365,15 +676,16 @@ def _prep_int8_mats(w_qkv, w_proj, sa_qkv, sa_proj):
 
 def _pallas_forward_i8(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
                        sa_qkv, sa_proj, nh: int, eps: float,
-                       interpret: bool, nomax: bool = False):
+                       interpret: bool, nomax: bool = False, avt: int = 0):
     B, S, C = x.shape
     wq_i8, swq, isa_q, wp_i8, swp, isa_p = _prep_int8_mats(
         w_qkv, w_proj, sa_qkv, sa_proj)
     m, e = _group_mats(C, S)
-    qb = min(S, 256)
+    qb = min(S, int(os.environ.get("DXMI_FUSED_QB", "256")))
     vec = pl.BlockSpec((1, C), lambda b: (0, 0))
     return pl.pallas_call(
-        functools.partial(_kernel_i8, nh=nh, eps=eps, qb=qb, nomax=nomax),
+        functools.partial(_kernel_i8, nh=nh, eps=eps, qb=qb, nomax=nomax,
+                          avt=avt),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, S, C), lambda b: (b, 0, 0)),
@@ -400,11 +712,12 @@ def _pallas_forward_i8(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_op_i8(nh: int, eps: float, interpret: bool, nomax: bool = False):
+def _make_op_i8(nh: int, eps: float, interpret: bool, nomax: bool = False,
+                avt: int = 0):
     @jax.custom_vjp
     def op(x, gs, gb, wq, bq, wp, bp, saq, sap):
         return _pallas_forward_i8(x, gs, gb, wq, bq, wp, bp, saq, sap,
-                                  nh, eps, interpret, nomax)
+                                  nh, eps, interpret, nomax, avt)
 
     def fwd(x, gs, gb, wq, bq, wp, bp, saq, sap):
         return op(x, gs, gb, wq, bq, wp, bp, saq, sap), (
@@ -436,7 +749,9 @@ def fused_attn_block_int8(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj,
     if interpret is None:
         interpret = not _tpu_backend()
     nomax = os.environ.get("DXMI_FUSED_NOMAX") == "1"
-    return _make_op_i8(int(num_heads), float(eps), bool(interpret), nomax)(
+    avt = int(os.environ.get("DXMI_FUSED_AVT", "0"))
+    return _make_op_i8(int(num_heads), float(eps), bool(interpret), nomax,
+                       avt)(
         x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
         jnp.asarray(sa_qkv), jnp.asarray(sa_proj))
 
@@ -453,14 +768,14 @@ def _group_mats(C: int, S: int, groups: int = 32):
 
 def _pallas_forward(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
                     nh: int, eps: float, interpret: bool, bb: int = 1,
-                    nomax: bool = False):
+                    nomax: bool = False, avt: int = 0):
     B, S, C = x.shape
     if bb > 1:
         while B % bb:
             bb -= 1
     if bb > 1:
         m, e = _group_mats(C, S)
-        qb = min(S, 256)
+        qb = min(S, int(os.environ.get("DXMI_FUSED_QB", "256")))
         vec = pl.BlockSpec((1, C), lambda b: (0, 0))
         return pl.pallas_call(
             functools.partial(_kernel_bb, nh=nh, eps=eps, qb=qb, bb=bb,
@@ -490,12 +805,13 @@ def _pallas_forward(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
     wq, wk, wv = (w_qkv[:, i * C:(i + 1) * C] for i in range(3))
     bq, bk, bv = (b_qkv[i * C:(i + 1) * C].reshape(1, C) for i in range(3))
     m, e = _group_mats(C, S)
-    qb = min(S, 256)
+    qb = min(S, int(os.environ.get("DXMI_FUSED_QB", "256")))
 
     vec = pl.BlockSpec((1, C), lambda b: (0, 0))
     mat = pl.BlockSpec((C, C), lambda b: (0, 0))
     return pl.pallas_call(
-        functools.partial(_kernel, nh=nh, eps=eps, qb=qb, nomax=nomax),
+        functools.partial(_kernel, nh=nh, eps=eps, qb=qb, nomax=nomax,
+                          avt=avt),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, S, C), lambda b: (b, 0, 0)),
@@ -518,11 +834,11 @@ def _pallas_forward(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
 
 @functools.lru_cache(maxsize=None)
 def _make_op(nh: int, eps: float, interpret: bool, bb: int = 1,
-             nomax: bool = False):
+             nomax: bool = False, avt: int = 0):
     @jax.custom_vjp
     def op(x, gs, gb, wq, bq, wp, bp):
         return _pallas_forward(x, gs, gb, wq, bq, wp, bp, nh, eps, interpret,
-                               bb, nomax)
+                               bb, nomax, avt)
 
     def fwd(x, gs, gb, wq, bq, wp, bp):
         return op(x, gs, gb, wq, bq, wp, bp), (x, gs, gb, wq, bq, wp, bp)
@@ -558,6 +874,7 @@ def fused_attn_block(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
         block_b = int(os.environ.get("DXMI_FUSED_ATTN_BB", "1"))
     block_b = int(block_b)
     nomax = os.environ.get("DXMI_FUSED_NOMAX") == "1"
+    avt = int(os.environ.get("DXMI_FUSED_AVT", "0"))
     if block_b > 1:
         B, S, C = x.shape
         cap = max(1, (1024 * 384) // (S * C))
@@ -565,5 +882,5 @@ def fused_attn_block(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
         while block_b > 1 and B % block_b:
             block_b -= 1
     return _make_op(int(num_heads), float(eps), bool(interpret),
-                    int(block_b), nomax)(
+                    int(block_b), nomax, avt)(
         x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj)

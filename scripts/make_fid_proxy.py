@@ -37,6 +37,18 @@ def main():
                         "the --fake_data trainer)")
     p.add_argument("--seed", type=int, default=112233)
     p.add_argument("--extract_batch", type=int, default=64)
+    p.add_argument("--virtual_name", default=None,
+                   help="ALSO write datasets/VIRTUAL_<name>.npz with "
+                        "stats over the structured CLASS data "
+                        "(data/synthetic.structured_class_images) — the "
+                        "train_image_large FID-gate naming "
+                        "(maybe_fid_state); use with --image_size/"
+                        "--n_class for the Cond convergence recipe")
+    p.add_argument("--image_size", type=int, default=16)
+    p.add_argument("--n_class", type=int, default=4)
+    p.add_argument("--data_seed", type=int, default=42,
+                   help="seed of the structured pool (= the training "
+                        "seed so stats target the training data)")
     args = p.parse_args()
 
     sys.path.insert(0, os.path.join(REPO, "tests"))
@@ -66,6 +78,21 @@ def main():
     spath = os.path.join(REPO, "datasets", "cifar10_train_fid_stats.npz")
     np.savez(spath, mu=mu, sigma=sigma, m2=mu, s2=sigma)
     print(f"fake-data FID stats ({len(ds.images)} images) -> {spath}")
+
+    if args.virtual_name:
+        from dxmi_tpu.data.synthetic import structured_class_images
+
+        imgs, _ = structured_class_images(args.n, args.image_size,
+                                          args.n_class, seed=args.data_seed)
+        acts = []
+        for i in range(0, len(imgs), args.extract_batch):
+            x = (imgs[i:i + args.extract_batch] + 1.0) / 2.0  # [0,1]
+            acts.append(np.asarray(extract(x.astype(np.float32))))
+        mu, sigma = stats_lib.activation_statistics(np.concatenate(acts))
+        vpath = os.path.join(REPO, "datasets",
+                             f"VIRTUAL_{args.virtual_name}.npz")
+        np.savez(vpath, mu=mu, sigma=sigma, m2=mu, s2=sigma)
+        print(f"structured class-data stats ({len(imgs)}) -> {vpath}")
 
 
 if __name__ == "__main__":

@@ -1,5 +1,7 @@
 """Fused attention-block kernel: numerics vs the pure-JAX reference and
 vs AttentionBlockADM's einsum path (interpret mode on CPU)."""
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -377,3 +379,133 @@ def test_int8_uncalibrated_scales_finite():
     out = fused_attn_block_int8(x, gs, gb, wq, bq, wp, bp, z, z,
                                 num_heads=2, interpret=True)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def _grads_of(fn, args, nh):
+    def loss(*a):
+        out = fn(*a, num_heads=nh)
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size, dtype=jnp.float32)
+                                     .reshape(out.shape)))
+    return jax.grad(loss, argnums=tuple(range(len(args))))(*args)
+
+
+def test_fused_train_bwd_matches_reference_grads():
+    """The pallas backward kernel (fused_attn_block_train) vs jax.grad of
+    the pure-JAX reference: every cotangent (dx, dgs, dgb, dwqkv, dbqkv,
+    dwp, dbp), fp32, multi-head, multi-tile (S > qb via _bwd_qb)."""
+    from dxmi_tpu.ops.attn_block import (attn_block_reference,
+                                         fused_attn_block_train)
+
+    args = _mk(B=2, S=256, C=128, nh=2, seed=7)
+    g_ref = _grads_of(
+        lambda *a, num_heads: attn_block_reference(*a, num_heads=num_heads),
+        args, nh=2)
+    g_fused = _grads_of(
+        lambda *a, num_heads: fused_attn_block_train(
+            *a, num_heads=num_heads, interpret=True),
+        args, nh=2)
+    names = ["dx", "dgs", "dgb", "dwqkv", "dbqkv", "dwp", "dbp"]
+    for n, a, b in zip(names, g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4, err_msg=n)
+
+
+def test_fused_train_bwd_bf16_class():
+    """bf16 inputs: gradient drift vs the fp32 reference stays in the
+    bf16 class (the training compute dtype)."""
+    from dxmi_tpu.ops.attn_block import (attn_block_reference,
+                                         fused_attn_block_train)
+
+    args32 = _mk(B=2, S=128, C=64, nh=1, seed=8)
+    args16 = tuple(a.astype(jnp.bfloat16) if a.ndim == 3 else a
+                   for a in args32)
+    g_ref = _grads_of(
+        lambda *a, num_heads: attn_block_reference(*a, num_heads=num_heads),
+        args32, nh=1)
+    g_fused = _grads_of(
+        lambda *a, num_heads: fused_attn_block_train(
+            *a, num_heads=num_heads, interpret=True),
+        args16, nh=1)
+    for n, a, b in zip(["dx", "dgs", "dgb", "dwqkv", "dbqkv", "dwp", "dbp"],
+                       g_fused, g_ref):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        rel = np.abs(a - b).mean() / (np.abs(b).mean() + 1e-8)
+        assert rel < 3e-2, (n, rel)
+
+
+def test_fused_train_fwd_identical_to_sampling_fwd():
+    """The train op's forward IS the sampling kernel (same _pallas_forward)
+    — bit-identical outputs."""
+    from dxmi_tpu.ops.attn_block import (fused_attn_block,
+                                         fused_attn_block_train)
+
+    args = _mk(seed=9)
+    a = fused_attn_block(*args, num_heads=2, interpret=True)
+    b = fused_attn_block_train(*args, num_heads=2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_attention_block_adm_fused_train_grads(monkeypatch):
+    """attn_impl='fused_train' (the pallas-backward training path): same
+    param tree as einsum AND matching parameter/input gradients through
+    AttentionBlockADM.apply."""
+    monkeypatch.setenv("DXMI_FUSED_ATTN_FORCE", "1")
+    from dxmi_tpu.models.unet_adm import AttentionBlockADM
+
+    B, H, W, C, nh = 2, 16, 16, 128, 2          # S=256 passes both gates
+    x = jax.random.normal(jax.random.key(0), (B, H, W, C), jnp.float32)
+    ein = AttentionBlockADM(num_heads=nh, attn_impl="einsum")
+    fus = AttentionBlockADM(num_heads=nh, attn_impl="fused_train")
+    p = ein.init(jax.random.key(1), x)["params"]
+    assert (jax.tree.structure(p)
+            == jax.tree.structure(fus.init(jax.random.key(1), x)["params"]))
+    p = jax.tree.map(
+        lambda a: a + 0.02 * jax.random.normal(jax.random.key(2), a.shape),
+        p)
+
+    def loss(mod, p, x):
+        out = mod.apply({"params": p}, x)
+        return jnp.sum(out * jnp.sin(0.1 * jnp.arange(out.size)
+                                     .reshape(out.shape)))
+
+    ge_p, ge_x = jax.grad(functools.partial(loss, ein),
+                          argnums=(0, 1))(p, x)
+    gf_p, gf_x = jax.grad(functools.partial(loss, fus),
+                          argnums=(0, 1))(p, x)
+    np.testing.assert_allclose(np.asarray(gf_x), np.asarray(ge_x),
+                               rtol=1e-3, atol=1e-3)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3),
+        gf_p, ge_p)
+
+
+def test_fused_avt_variants_match(monkeypatch):
+    """DXMI_FUSED_AVT=1/2 (transposed-AV formulations, PERF.md r5 MXU
+    probe) match the row formulation to fp32 rounding, fp and int8
+    kernels, with and without nomax."""
+    from dxmi_tpu.ops import attn_block as ab
+
+    args = _mk(seed=10)
+    sa_q = jnp.full((args[0].shape[-1],), 0.03, jnp.float32)
+    sa_p = jnp.full((args[0].shape[-1],), 0.02, jnp.float32)
+    base = ab.fused_attn_block(*args, num_heads=2, interpret=True)
+    base_i8 = ab.fused_attn_block_int8(*args, sa_q, sa_p, num_heads=2,
+                                       interpret=True)
+    for avtv in ["1", "2"]:
+        for nomax in [None, "1"]:
+            monkeypatch.setenv("DXMI_FUSED_AVT", avtv)
+            if nomax:
+                monkeypatch.setenv("DXMI_FUSED_NOMAX", nomax)
+            else:
+                monkeypatch.delenv("DXMI_FUSED_NOMAX", raising=False)
+            out = ab.fused_attn_block(*args, num_heads=2, interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(base), rtol=3e-5, atol=3e-5,
+                err_msg=f"fp avt={avtv} nomax={nomax}")
+            out8 = ab.fused_attn_block_int8(*args, sa_q, sa_p, num_heads=2,
+                                            interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(out8), np.asarray(base_i8), rtol=3e-5, atol=3e-5,
+                err_msg=f"i8 avt={avtv} nomax={nomax}")

@@ -46,13 +46,13 @@ def print0(*a, **k):
         print(*a, **k, flush=True)
 
 
-def build_sampler(cfg, key, up_impl=None):
+def build_sampler(cfg, key, up_impl=None, attn_impl=None):
     dcfg = dict(cfg["diffusion"])
     sigma_min = dcfg.pop("sigma_min", 0.002)
     sigma_max = dcfg.pop("sigma_max", 80.0)
     weight_schedule = dcfg.pop("weight_schedule", "uniform")
     distillation = dcfg.pop("distillation", False)
-    net = create_unet_adm(**dcfg, up_impl=up_impl)
+    net = create_unet_adm(**dcfg, up_impl=up_impl, attn_impl=attn_impl)
     denoiser = KarrasDenoiser(sigma_min=sigma_min, sigma_max=sigma_max,
                               weight_schedule=weight_schedule,
                               distillation=distillation)
@@ -104,6 +104,8 @@ def main():
     p.add_argument("--run", default="run")
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--fake_data", action="store_true")
+    p.add_argument("--fake_data_size", type=int, default=1024,
+                   help="finite structured-pool size for --fake_data")
     p.add_argument("--wandb", action="store_true",
                    help="log to wandb with the reference's project naming "
                         "(requires wandb installed)")
@@ -127,6 +129,15 @@ def main():
                         "ms/step ImageNet64 cond (-7.1%%, PERF.md r4); "
                         "default keeps fp32 parity stats (DXMI_GN_STATS "
                         "env also honored)")
+    p.add_argument("--attn_impl", default=None,
+                   choices=["einsum", "flash", "fused_train"],
+                   help="attention in TRAINING: 'fused_train' = the "
+                        "whole-block fused Pallas kernel with its real "
+                        "fused backward (ops/attn_block.py "
+                        "fused_attn_block_train) on the maps its gate "
+                        "admits; default keeps the bf16-mode flash / "
+                        "fp32 einsum selection (DXMI_FUSED_ATTN=train "
+                        "env also honored)")
     args, unknown = p.parse_known_args()
 
     d_cmd = cfglib.parse_nested_args(cfglib.parse_unknown_args(unknown))
@@ -145,7 +156,8 @@ def main():
     key, bk = jax.random.split(key)
     if args.gn_stats:
         os.environ["DXMI_GN_STATS"] = args.gn_stats
-    sampler, sampler_params = build_sampler(cfg, bk, up_impl=args.up_impl)
+    sampler, sampler_params = build_sampler(cfg, bk, up_impl=args.up_impl,
+                                            attn_impl=args.attn_impl)
     value = instantiate(cfg["value"])
     trainer = instantiate(cfg["trainer"], batchsize=batchsize,
                           n_timesteps=cfg["sampler"]["n_timesteps"])
@@ -165,16 +177,24 @@ def main():
 
     class_cond = bool(cfg["sampler"].get("class_cond"))
     if args.fake_data:
+        # class-structured finite pool (not uniform noise): a learnable
+        # distribution so convergence runs on fake data are meaningful
+        # (data/synthetic.structured_class_images — the golden-ADM-
+        # fixture construction); --fake_data_size bounds it
+        from dxmi_tpu.data.synthetic import structured_class_images
+
+        pool_x, pool_y = structured_class_images(
+            max(args.fake_data_size, batchsize), h,
+            max(sampler.num_classes, 1), seed=seed)
+
         def fake_gen():
             rng = np.random.RandomState(seed)
             while True:
-                x = rng.rand(batchsize, h, w, c).astype(np.float32) * 2 - 1
-                extra = {"y": rng.randint(0, max(sampler.num_classes, 1),
-                                          batchsize).astype(np.int32)} \
-                    if class_cond else {}
-                yield x, extra
+                idx = rng.randint(0, len(pool_x), batchsize)
+                extra = ({"y": pool_y[idx]} if class_cond else {})
+                yield pool_x[idx], extra
         data = fake_gen()
-        print0("using fake data stand-in")
+        print0(f"using structured fake data ({len(pool_x)} images)")
     else:
         data = load_data(
             data_dir=cfg["data"]["data_dir"], batch_size=batchsize,
