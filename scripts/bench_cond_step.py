@@ -48,14 +48,18 @@ def step(state, k):
     state, m2 = trainer.update_sampler(state, traj, k3)
     return state, m2
 
+# true host-fetch sync each step: on the axon backend
+# jax.block_until_ready does NOT reliably block (CLAUDE.md); a float()
+# fetch does.  Round-5 fix — the block_until_ready version reported a
+# bogus 99.3 ms/step for the fused_train variant (PERF.md r5).
 for i in range(3):
     state, m = step(state, jax.random.fold_in(key, i))
-    jax.block_until_ready(m["sampler/sampler_loss_"])
+    float(m["sampler/sampler_loss_"])
 N = 5
 t0 = time.perf_counter()
 for i in range(N):
     state, m = step(state, jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready(m["sampler/sampler_loss_"])
+    float(m["sampler/sampler_loss_"])
 dt = time.perf_counter() - t0
 print(f"imagenet64 cond train step: {dt/N*1000:7.1f} ms/step "
       f"({B*N/dt:5.1f} img/s trained)", flush=True)

@@ -26,7 +26,10 @@ net, diffusion = create_model_and_diffusion(
     num_head_channels=64, attention_resolutions="32,16,8", channel_mult="",
     dropout=0.0, class_cond=True, use_checkpoint=False,
     use_scale_shift_norm=True, resblock_updown=True, use_fp16=True)
-assert net.attn_impl == "flash", net.attn_impl
+# default run validates the flash backward; DXMI_FUSED_ATTN=train runs
+# the same 60 steps through the fused pallas backward (r5 task 2)
+assert net.attn_impl in ("flash", "fused_train"), net.attn_impl
+print(f"attn_impl = {net.attn_impl}", flush=True)
 sampler = EDMSampler(net, diffusion, sample_shape=(3, 64, 64), n_timesteps=T,
                      class_cond=True, num_classes=1000,
                      trainable_beta="fix_last")
