@@ -121,6 +121,12 @@ def main():
     p.add_argument("--int8", action="store_true",
                    help="W8A8 static-calibrated sampling (+30%% throughput "
                         "on the CIFAR net, ~4.5%% sample drift — PERF.md)")
+    p.add_argument("--dtype", default=None, choices=["fp32", "bf16"],
+                   help="sampler-net compute dtype (params stay fp32). "
+                        "Default: bf16 for NCSN++/DDGAN run dirs — gated "
+                        "on the trained fixture (Frechet 400x below the "
+                        "fp32 seed floor, pixel drift 0.33%% — PERF.md "
+                        "r5 DDGAN gate table); fp32 otherwise.")
     p.add_argument("--cleanup", action="store_true",
                    help="delete generated PNGs after FID")
     p.add_argument("--save_npz", default=None,
@@ -140,18 +146,32 @@ def main():
     assert args.n_generate % args.batchsize == 0, \
         "n_generate must be a multiple of batchsize"
 
+    target = str(cfg["sampler_net"].get("_target_", "")).lower()
+    net_kw = {}
+    if args.dtype == "bf16" or (args.dtype is None and "ncsnpp" in target):
+        # bf16 torso default for the DDGAN family: trained-fixture gated
+        # (bf16 Frechet 0.0002 vs fp32 seed floor 0.0898, pixel drift
+        # 0.33%; bf16+int8 skip_attn 0.0084 — PERF.md r5 DDGAN gate
+        # table, scripts/bench_ddgan_quality.py)
+        net_kw["dtype"] = jnp.bfloat16
+        print0("bf16 compute torso (params fp32; --dtype fp32 opts out)")
     if args.int8:
+        if "ncsnpp" in target:
+            # the gated DDGAN headline stack keeps the attention 1x1s
+            # out of int8 (faster AND lower drift than full int8 —
+            # PERF.md r4 DDGAN sweep + r5 gate table)
+            net_kw["quant_skip_attn"] = True
         try:
-            net = instantiate(cfg["sampler_net"], quant_int8="static")
+            net = instantiate(cfg["sampler_net"], quant_int8="static",
+                              **net_kw)
         except TypeError:
             raise SystemExit(
                 f"--int8: sampler_net {cfg['sampler_net'].get('_target_')} "
-                "has no int8 mode (supported: UNetSmall, UNetADM)")
+                "has no int8 mode (supported: UNetSmall, UNetADM, NCSNpp)")
     else:
-        net = instantiate(cfg["sampler_net"])
+        net = instantiate(cfg["sampler_net"], **net_kw)
     sampler = instantiate(cfg["sampler"], net=net)
 
-    target = str(cfg["sampler_net"].get("_target_", "")).lower()
     torch_kind = "unet_small" if "unet_small" in target else None
     ckpt, ckpt_path = ckptlib.load_run_checkpoint(
         args.log_dir, "sampler", args.sampler, torch_kind=torch_kind)
