@@ -65,10 +65,12 @@ def fused_attn_available(seq_len: int, channels: int, num_heads: int) -> bool:
     - head_dim <= 256 and C % num_heads == 0 (the kernel's per-head
       matmuls are plain dot_generals, so d is VMEM-bounded, not
       lane-bounded; d=256 is the single-head CIFAR S=256 C=256 map),
-    - working set bounds: S*C <= 1024*384 (activations) and C <= 768
+    - working set bounds: S*C <= 1024*512 (activations) and C <= 768
       (the four CxC weight mats alone are 8 MB at C=1024) keep the
       program inside the ~16 MB VMEM budget; covers the ImageNet64
-      ds2/ds4 maps.
+      ds2/ds4 maps and (round 5) the LSUN-256 ds8 map (S=1024, C=512),
+      where the int8 kernel beat the einsum path 19.94 vs 19.47 img/s
+      at the record operating point (PERF.md r5 LSUN decomposition).
     """
     if channels % num_heads:
         return False
@@ -78,8 +80,14 @@ def fused_attn_available(seq_len: int, channels: int, num_heads: int) -> bool:
         # it; production CPU paths take the einsum fallback)
         return False
     d = channels // num_heads
+    # DXMI_FUSED_VMEM_SC raises/lowers the activation working-set bound
+    # (trace-time, like DXMI_GN_STATS).  1024*384 was the r1-r4 bound
+    # (the measured bb=1 ImageNet64 envelope); r5 measured the LSUN ds8
+    # map (S*C=524288) fits AND wins (+2.4% at the record point), so the
+    # default admits it.
+    sc_cap = int(os.environ.get("DXMI_FUSED_VMEM_SC", str(1024 * 512)))
     return (seq_len >= 64 and seq_len % 64 == 0 and d <= 256
-            and channels <= 768 and seq_len * channels <= 1024 * 384)
+            and channels <= 768 and seq_len * channels <= sc_cap)
 
 
 def _softmax_rows(lg, nomax: bool):
@@ -864,10 +872,12 @@ def fused_attn_block(x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
     BB*S rows; see _kernel_bb).  Default 1 = the recorded per-element
     kernel; DXMI_FUSED_ATTN_BB overrides for benchmarking.
 
-    The ``fused_attn_available`` VMEM gate (S*C <= 1024*384) assumes the
-    bb=1 working set; bb multiplies per-program activations by bb, so bb
-    is clamped here to keep bb*S*C within the same bound (and bb <= B,
-    B % bb == 0 — the kernel requires an integral grid)."""
+    The ``fused_attn_available`` VMEM gate (S*C <= 1024*512 since r5)
+    assumes the bb=1 working set; bb multiplies per-program activations
+    by bb, so bb is clamped here (conservatively at the r1-r4 1024*384
+    envelope — bb>1 is a measured-dead-end bench path) to keep bb*S*C
+    bounded (and bb <= B, B % bb == 0 — the kernel requires an
+    integral grid)."""
     if interpret is None:
         interpret = not _tpu_backend()
     if block_b is None:

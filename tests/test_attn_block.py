@@ -27,6 +27,9 @@ def test_gate(monkeypatch):
     assert fused_attn_available(1024, 384, 6)      # ImageNet64 ds2
     assert fused_attn_available(256, 768, 12)      # LSUN S=256 map
     assert fused_attn_available(64, 768, 12)       # ds8 map (S=64)
+    assert fused_attn_available(1024, 512, 8)      # LSUN-256 ds8 (r5:
+    #   the raised 1024*512 activation bound admits it — measured win,
+    #   19.94 vs 19.47 img/s at the record point, PERF.md r5)
     assert not fused_attn_available(1024, 768, 12) # VMEM bound
     assert not fused_attn_available(256, 1024, 16) # weight VMEM bound
     assert not fused_attn_available(100, 128, 2)   # S % 64
@@ -42,6 +45,17 @@ def test_fused_matches_reference_fp32():
     out = fused_attn_block(*args, num_heads=2, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_matches_reference_lsun_ds8_shape():
+    """Exactness at the LSUN-256 ds8 map (S=1024, C=512, nh=8) — the
+    shape the r5 VMEM-gate raise newly admits to the fused kernel
+    (19.94 vs 19.47 img/s at the record point, PERF.md r5)."""
+    args = _mk(B=1, S=1024, C=512, nh=8, seed=7)
+    ref = attn_block_reference(*args, num_heads=8)
+    out = fused_attn_block(*args, num_heads=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
 
 
 def test_fused_matches_reference_bf16():
