@@ -216,7 +216,11 @@ class AttentionBlockADM(nn.Module):
         calibrating = False
         train_bwd = (self.attn_impl == "fused_train"
                      and fused_attn_bwd_available(S, C, nh))
-        if (self.attn_impl == "fused" and fused_attn_available(S, C, nh)
+        # the int8 kernel's half-size weight mats admit C=1024 (LSUN's
+        # 16^2/8^2 maps) — measured 20.18 vs 19.94 img/s (PERF.md r5)
+        if (self.attn_impl == "fused"
+                and fused_attn_available(S, C, nh,
+                                         int8=self.quant == "static")
                 ) or train_bwd:
             q_static = self.quant == "static" and not train_bwd
             if q_static:

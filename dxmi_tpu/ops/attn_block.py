@@ -56,7 +56,8 @@ def _tpu_backend() -> bool:
         return False
 
 
-def fused_attn_available(seq_len: int, channels: int, num_heads: int) -> bool:
+def fused_attn_available(seq_len: int, channels: int, num_heads: int,
+                         int8: bool = False) -> bool:
     """Gate: shapes where the fused kernel is correct AND measured to fit.
 
     - S a multiple of 64 (q-row tiles + sublane tiling); S=64 (the ds8
@@ -71,6 +72,10 @@ def fused_attn_available(seq_len: int, channels: int, num_heads: int) -> bool:
       ds2/ds4 maps and (round 5) the LSUN-256 ds8 map (S=1024, C=512),
       where the int8 kernel beat the einsum path 19.94 vs 19.47 img/s
       at the record operating point (PERF.md r5 LSUN decomposition).
+    - ``int8=True`` (the W8A8 kernel, whose weight mats are half-size)
+      raises the weight bound to C <= 1024, admitting LSUN-256's
+      16^2/8^2 maps (S=256/64, C=1024, nh=16): measured 20.18 vs 19.94
+      img/s at the record point (PERF.md r5, second gate raise).
     """
     if channels % num_heads:
         return False
@@ -86,8 +91,13 @@ def fused_attn_available(seq_len: int, channels: int, num_heads: int) -> bool:
     # map (S*C=524288) fits AND wins (+2.4% at the record point), so the
     # default admits it.
     sc_cap = int(os.environ.get("DXMI_FUSED_VMEM_SC", str(1024 * 512)))
+    # DXMI_FUSED_VMEM_C parametrizes the weight-mat bound the same way
+    # (the four CxC mats are 8 MB bf16 at C=1024; the int8 kernel's are
+    # half that, so its default admits C=1024 — LSUN's 16^2/8^2 maps).
+    c_cap = int(os.environ.get("DXMI_FUSED_VMEM_C",
+                               "1024" if int8 else "768"))
     return (seq_len >= 64 and seq_len % 64 == 0 and d <= 256
-            and channels <= 768 and seq_len * channels <= sc_cap)
+            and channels <= c_cap and seq_len * channels <= sc_cap)
 
 
 def _softmax_rows(lg, nomax: bool):

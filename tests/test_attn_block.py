@@ -31,12 +31,54 @@ def test_gate(monkeypatch):
     #   the raised 1024*512 activation bound admits it — measured win,
     #   19.94 vs 19.47 img/s at the record point, PERF.md r5)
     assert not fused_attn_available(1024, 768, 12) # VMEM bound
-    assert not fused_attn_available(256, 1024, 16) # weight VMEM bound
+    assert not fused_attn_available(256, 1024, 16) # weight VMEM bound (fp)
+    assert fused_attn_available(256, 1024, 16, int8=True)  # r5: half-size
+    #   int8 weights admit C=1024 (LSUN 16^2/8^2 maps, 20.18 vs 19.94)
     assert not fused_attn_available(100, 128, 2)   # S % 64
     monkeypatch.delenv("DXMI_FUSED_ATTN_FORCE")
     import dxmi_tpu.ops.attn_block as ab
     if not ab._tpu_backend():
         assert not fused_attn_available(1024, 384, 6)  # CPU: einsum path
+
+
+def test_gate_weight_cap_env(monkeypatch):
+    """DXMI_FUSED_VMEM_C parametrizes the CxC-weight VMEM bound the way
+    DXMI_FUSED_VMEM_SC does the activation bound (r5: the int8 kernel's
+    weights are half-size, so C=1024 — LSUN's 16^2/8^2 maps — is
+    admissible there; measured on chip, PERF.md r5)."""
+    monkeypatch.setenv("DXMI_FUSED_ATTN_FORCE", "1")
+    assert not fused_attn_available(256, 1024, 16)   # fp default cap 768
+    assert fused_attn_available(256, 1024, 16, int8=True)   # i8 cap 1024
+    monkeypatch.setenv("DXMI_FUSED_VMEM_C", "1024")
+    assert fused_attn_available(256, 1024, 16)       # LSUN 16^2 map
+    assert fused_attn_available(64, 1024, 16)        # LSUN 8^2 map
+    assert not fused_attn_available(1024, 1024, 16)  # still SC-bounded
+    monkeypatch.setenv("DXMI_FUSED_VMEM_C", "512")
+    assert not fused_attn_available(256, 768, 12)    # lowers BOTH paths
+    assert not fused_attn_available(256, 768, 12, int8=True)
+
+
+def test_fused_int8_lsun_c1024_shapes():
+    """int8 kernel exactness at the LSUN-256 C=1024 maps the raised
+    weight cap admits (S=256 nh=16 and S=64 nh=16).  Tolerance is the
+    measured fp32-epilogue class at C=1024 reductions: mean-rel ~2e-6
+    with isolated ~2e-3 outliers (0.2% of elements) — far inside the
+    W8A8 drift gates."""
+    from dxmi_tpu.ops.attn_block import (attn_block_int8_reference,
+                                         fused_attn_block_int8)
+
+    for S in (256, 64):
+        args = _mk(B=1, S=S, C=1024, nh=16, seed=11)
+        sa_q = jnp.full((1024,), 0.03, jnp.float32)
+        sa_p = jnp.full((1024,), 0.02, jnp.float32)
+        ref = np.asarray(attn_block_int8_reference(*args, sa_q, sa_p,
+                                                   num_heads=16))
+        out = np.asarray(fused_attn_block_int8(*args, sa_q, sa_p,
+                                               num_heads=16,
+                                               interpret=True))
+        mrel = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-8)
+        assert np.abs(out - ref).max() < 5e-3, (S, np.abs(out - ref).max())
+        assert mrel < 1e-4, (S, mrel)
 
 
 def test_fused_matches_reference_fp32():
